@@ -1,0 +1,58 @@
+"""Benchmark: certified SIMPLE1 solve wall-clock (warm) on the local device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo commits no quantitative numbers (BASELINE.md); the
+recorded baseline below is this framework's round-1 measurement on a single
+TPU chip so later rounds report progress against it (vs_baseline > 1 means
+faster than round 1).
+"""
+
+import json
+import os
+import sys
+import time
+
+# Round-1 recorded wall-clock for the full certified SIMPLE1 staircase solve
+# (rank-3 TR + exact-dual certificate, warm), single TPU v5 chip.
+BASELINE_MS = 1030.0
+
+
+def main():
+    import numpy as np
+
+    import xmtpu
+    from xmtpu.io.bin_format import load_matrix_from_bin
+    from xmtpu.solver.staircase import solve_arrays
+
+    qpath = "/root/reference/assets/SIMPLE1/Q.bin"
+    if not os.path.exists(qpath):
+        print(json.dumps({"metric": "simple1_certified_solve", "value": -1,
+                          "unit": "ms", "vs_baseline": 0.0}))
+        return
+
+    Q, _ = load_matrix_from_bin(qpath)
+
+    # warmup (compile; persistent cache makes this fast on reruns)
+    res = solve_arrays(Q, max_rank=3, tol=1e-16, lam=0.0, max_time=1000,
+                       verbose=False)
+    assert res.certified, "SIMPLE1 must certify at rank 3"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve_arrays(Q, max_rank=3, tol=1e-16, lam=0.0, max_time=1000,
+                           verbose=False)
+        times.append((time.perf_counter() - t0) * 1e3)
+    value = float(np.median(times))
+
+    print(json.dumps({
+        "metric": "simple1_certified_solve",
+        "value": round(value, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / value, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Test harness: run on CPU with a virtual 8-device mesh for sharding tests.
+
+Must set env before jax initializes (SURVEY.md section 4 implication: the
+reference has no unit tests; xmtpu adds per-primitive + golden + synthetic +
+multi-device tiers).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter start; force it back so tests run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+REFERENCE_ASSETS = "/root/reference/assets"
+
+
+@pytest.fixture(scope="session")
+def simple1_Q():
+    from xmtpu.io.bin_format import load_matrix_from_bin
+    path = os.path.join(REFERENCE_ASSETS, "SIMPLE1", "Q.bin")
+    if not os.path.exists(path):
+        pytest.skip("SIMPLE1 fixture not available")
+    Q, _ = load_matrix_from_bin(path)
+    return Q
+
+
+@pytest.fixture(scope="session")
+def simple2_data():
+    from xmtpu.io.bin_format import load_matrix_from_bin
+    path = os.path.join(REFERENCE_ASSETS, "SIMPLE2", "landmark.bin")
+    if not os.path.exists(path):
+        pytest.skip("SIMPLE2 fixture not available")
+    data, _ = load_matrix_from_bin(path)
+    return data
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)

@@ -1,0 +1,89 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmtpu.assembly.creatematrix import create_matrix_arrays
+from xmtpu.ops import manifold as mf
+from xmtpu.pipeline.synthetic import make_scene
+from xmtpu.solver import trust_region as tr
+from xmtpu.solver.certificate import certify, _solve_spd_small
+
+
+def test_solve_spd_small_matches_numpy():
+    rng = np.random.default_rng(0)
+    for k in (5, 6):
+        A = rng.normal(size=(7, k, k))
+        G = A @ A.transpose(0, 2, 1) + 3 * np.eye(k)
+        g = rng.normal(size=(7, k))
+        y = np.asarray(_solve_spd_small(jnp.asarray(G), jnp.asarray(g)))
+        expected = np.linalg.solve(G, g[..., None])[..., 0]
+        np.testing.assert_allclose(y, expected, rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def solved_problem():
+    scene = make_scene(n_cameras=8, n_points=40, obs_per_camera=20, noise=0.0,
+                       seed=13)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    n = C.shape[0] // 3
+    res = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    return C, res
+
+
+def test_certifies_global_optimum(solved_problem):
+    C, res = solved_problem
+    sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+    cert = certify(jnp.asarray(C), sR, 0.0, res.primal)
+    assert bool(cert.certified)
+    # at the global optimum of a noiseless problem Z is (numerically) PSD
+    assert float(cert.lam_min) > -1e-5
+
+
+def test_rejects_bad_point(solved_problem):
+    """A far-from-optimal point must not be certified."""
+    C, res = solved_problem
+    n = np.asarray(res.R).shape[0]
+    rng = np.random.default_rng(3)
+    R_bad = mf.mgs_rows(jnp.asarray(rng.normal(size=(n, 3, 3))))
+    s_bad = jnp.ones((n,))
+    sR = mf.flatten(mf.scale_blocks(R_bad, s_bad))
+    qmul = lambda Y: jnp.asarray(C) @ Y
+    primal_bad = mf.objective(qmul, R_bad, s_bad, 0.0)
+    cert = certify(jnp.asarray(C), sR, 0.0, primal_bad)
+    assert not bool(cert.certified)
+    assert float(cert.lam_min) < 0
+
+
+def test_escape_direction_is_descent(solved_problem):
+    """At an uncertified point, stepping along v in a grown rank must be able
+    to decrease the objective (the staircase linesearch relies on this)."""
+    C, res = solved_problem
+    n = np.asarray(res.R).shape[0]
+    rng = np.random.default_rng(5)
+    R_bad = mf.mgs_rows(jnp.asarray(rng.normal(size=(n, 3, 3))))
+    s_bad = jnp.ones((n,))
+    sR = mf.flatten(mf.scale_blocks(R_bad, s_bad))
+    qmul = lambda Y: jnp.asarray(C) @ Y
+    primal_bad = float(mf.objective(qmul, R_bad, s_bad, 0.0))
+    cert = certify(jnp.asarray(C), sR, 0.0, primal_bad)
+    assert not bool(cert.certified)
+
+    # grow rank, do the escape linesearch
+    R_grown = jnp.concatenate([R_bad, jnp.zeros((n, 3, 1))], axis=2)
+    v_scaled = np.asarray(cert.v).reshape(n, 3) / np.asarray(s_bad)[:, None]
+    res2 = tr.trust_region_solve(
+        jnp.asarray(C), R_grown, s_bad, lam=0.0, gradtol=1e-8,
+        escape_dir=jnp.asarray(v_scaled.reshape(-1)), linesearch_step=1.0)
+    assert int(res2.done_reason) != tr.DONE_LINESEARCH_FAIL
+    assert float(res2.primal) < primal_bad
+
+
+def test_dual_value_structure(solved_problem):
+    """gap ~ primal - dual at a PSD-certified point (no eigenvalue slack)."""
+    C, res = solved_problem
+    sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+    cert = certify(jnp.asarray(C), sR, 0.0, res.primal)
+    if float(cert.lam_min) >= 0:
+        np.testing.assert_allclose(float(cert.gap),
+                                   float(cert.primal - cert.dual), rtol=1e-10)

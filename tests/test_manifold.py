@@ -1,0 +1,180 @@
+"""Property tests for the product-manifold primitives (SURVEY.md section 4:
+retraction orthonormality, projection idempotence, Hessian symmetry,
+finite-difference gradient checks — the tests the reference lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmtpu.ops import manifold as mf
+
+N, O = 7, 4
+
+
+def random_point(key, n=N, o=O):
+    kR, ks = jax.random.split(key)
+    R = mf.mgs_rows(jax.random.normal(kR, (n, 3, o), dtype=jnp.float64))
+    s = jnp.abs(jax.random.normal(ks, (n - 1,), dtype=jnp.float64)) + 0.5
+    s_ex = jnp.concatenate([jnp.ones((1,), jnp.float64), s])
+    return R, s_ex
+
+
+def random_psd(key, n=N):
+    A = jax.random.normal(key, (3 * n, 3 * n), dtype=jnp.float64)
+    return A @ A.T / (3 * n)
+
+
+def test_mgs_rows_orthonormal():
+    key = jax.random.PRNGKey(0)
+    A = jax.random.normal(key, (N, 3, O), dtype=jnp.float64)
+    Q = mf.mgs_rows(A)
+    G = jnp.einsum("nko,nlo->nkl", Q, Q)
+    np.testing.assert_allclose(np.asarray(G), np.broadcast_to(np.eye(3), (N, 3, 3)),
+                               atol=1e-12)
+
+
+def test_mgs_rows_matches_kernel_order():
+    """MGS must reproduce the batchedQRKernel column order (batchedQR.h:42-67):
+    plain Gram-Schmidt, no sign fix -> first row keeps its direction."""
+    key = jax.random.PRNGKey(1)
+    A = jax.random.normal(key, (N, 3, O), dtype=jnp.float64)
+    Q = mf.mgs_rows(A)
+    r0 = A[:, 0] / jnp.linalg.norm(A[:, 0], axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(Q[:, 0]), np.asarray(r0), atol=1e-13)
+    # same span, triangular relation: <Q_k, A_j> == 0 for k > j
+    assert float(jnp.abs(jnp.einsum("no,no->n", Q[:, 2], A[:, 1])).max()) < 1e-12
+
+
+def test_projection_idempotent_and_tangent():
+    key = jax.random.PRNGKey(2)
+    R, s_ex = random_point(key)
+    s = s_ex[1:]
+    gR = jax.random.normal(jax.random.PRNGKey(3), R.shape, dtype=jnp.float64)
+    gs = jax.random.normal(jax.random.PRNGKey(4), s.shape, dtype=jnp.float64)
+    pR, ps = mf.project(R, s, gR, gs)
+    # tangency: R_i pR_i^T skew-symmetric
+    S = jnp.einsum("nko,nlo->nkl", R, pR)
+    np.testing.assert_allclose(np.asarray(S + jnp.swapaxes(S, -1, -2)),
+                               0.0, atol=1e-12)
+    # idempotence on the frame part (the scale part is a metric conversion,
+    # not a projection: p(s^2 p... ) differs by s^2 -- so only check frames)
+    pR2, _ = mf.project(R, s, pR, gs)
+    np.testing.assert_allclose(np.asarray(pR2), np.asarray(pR), atol=1e-12)
+
+
+def test_retraction_stays_on_manifold():
+    key = jax.random.PRNGKey(5)
+    R, s_ex = random_point(key)
+    vR = 0.1 * jax.random.normal(jax.random.PRNGKey(6), R.shape, dtype=jnp.float64)
+    vs = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (N - 1,), dtype=jnp.float64)
+    R2, s2 = mf.retract(R, s_ex, vR, vs, 1.0)
+    G = jnp.einsum("nko,nlo->nkl", R2, R2)
+    np.testing.assert_allclose(np.asarray(G), np.broadcast_to(np.eye(3), (N, 3, 3)),
+                               atol=1e-12)
+    assert float(s2[0]) == 1.0
+    assert bool(jnp.all(s2[1:] > 0))
+
+
+def test_gradient_finite_difference():
+    """d/dt f(retract(t u))|_0 == <rgrad, u>_metric."""
+    key = jax.random.PRNGKey(8)
+    R, s_ex = random_point(key)
+    s = s_ex[1:]
+    C = random_psd(jax.random.PRNGKey(9))
+    lam = 0.37
+    qmul = lambda Y: C @ Y
+
+    egR, egs = mf.egrad(qmul, R, s_ex, lam)
+    pgR, pgs = mf.project(R, s, egR, egs)
+    uR, us = mf.random_tangent(jax.random.PRNGKey(10), R, s)
+
+    expected = mf.inner(pgR, uR, pgs, us, s)
+
+    def f(t):
+        R2, s2 = mf.retract(R, s_ex, t * uR, t * us, 1.0)
+        return mf.objective(qmul, R2, s2, lam)
+
+    eps = 1e-6
+    fd = (f(eps) - f(-eps)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), float(expected), rtol=1e-5)
+
+
+def test_hessian_symmetry():
+    """<u, Hess v> == <Hess u, v> in the Riemannian metric."""
+    key = jax.random.PRNGKey(11)
+    R, s_ex = random_point(key)
+    s = s_ex[1:]
+    C = random_psd(jax.random.PRNGKey(12))
+    lam = 0.5
+    qmul = lambda Y: C @ Y
+
+    egR, egs = mf.egrad(qmul, R, s_ex, lam)
+    sR = mf.flatten(mf.scale_blocks(R, s_ex))
+    CsR = mf.unflatten(2.0 * qmul(sR))
+
+    uR, us = mf.random_tangent(jax.random.PRNGKey(13), R, s)
+    vR, vs = mf.random_tangent(jax.random.PRNGKey(14), R, s)
+
+    HuR, Hus = mf.rhess(qmul, R, s_ex, CsR, egR, egs, uR, us, lam)
+    HvR, Hvs = mf.rhess(qmul, R, s_ex, CsR, egR, egs, vR, vs, lam)
+
+    lhs = mf.inner(uR, HvR, us, Hvs, s)
+    rhs = mf.inner(HuR, vR, Hus, vs, s)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-9)
+
+
+def test_hessian_matches_naive_reference_formulas():
+    """Compare the vectorized rhess against a per-camera numpy transcription
+    of the reference closures (trustregion.h:197-295), including the CUDA
+    ``+`` sign in the scale Hessian (see manifold.py module docstring)."""
+    key = jax.random.PRNGKey(15)
+    R, s_ex = random_point(key)
+    s = s_ex[1:]
+    C = random_psd(jax.random.PRNGKey(16))
+    lam = 0.73
+    qmul = lambda Y: C @ Y
+
+    egR, egs = mf.egrad(qmul, R, s_ex, lam)
+    sR = mf.flatten(mf.scale_blocks(R, s_ex))
+    CsR_flat = 2.0 * qmul(sR)
+    CsR = mf.unflatten(CsR_flat)
+    uR, us = mf.random_tangent(jax.random.PRNGKey(17), R, s)
+
+    HuR, Hus = mf.rhess(qmul, R, s_ex, CsR, egR, egs, uR, us, lam)
+
+    # --- naive reimplementation (numpy, per camera) ---
+    Rn = np.asarray(R)
+    sx = np.asarray(s_ex)
+    Cn = np.asarray(C)
+    Run = np.asarray(uR)
+    sun = np.asarray(us)
+    su_ex = np.concatenate([[0.0], sun])
+    n, _, o = Rn.shape
+
+    def flat(B):
+        return B.reshape(3 * n, o)
+
+    sRu = Run * sx[:, None, None]
+    suR = Rn * su_ex[:, None, None]
+    CW = (2.0 * Cn @ flat(sRu + suR)).reshape(n, 3, o)
+    CsRn = np.asarray(CsR_flat).reshape(n, 3, o)
+    ehR = CsRn * su_ex[:, None, None] + CW * sx[:, None, None]
+    ehs = np.array([np.sum(CW[i] * Rn[i]) + np.sum(CsRn[i] * Run[i])
+                    for i in range(1, n)])
+    ehs += 4.0 * lam * (3.0 * np.asarray(s) ** 2 - 1.0) * sun
+
+    egRn = np.asarray(egR)
+    egsn = np.asarray(egs)
+    rhR = np.zeros_like(ehR)
+    for i in range(n):
+        S1 = Rn[i] @ egRn[i].T
+        S1 = 0.5 * (S1 + S1.T)
+        t1 = ehR[i] - S1 @ Run[i]
+        S2 = Rn[i] @ t1.T
+        S2 = 0.5 * (S2 + S2.T)
+        rhR[i] = t1 - S2 @ Rn[i]
+    rhs = ehs * np.asarray(s) ** 2 + sun * np.asarray(s) * egsn
+
+    np.testing.assert_allclose(np.asarray(HuR), rhR, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Hus), rhs, atol=1e-10)

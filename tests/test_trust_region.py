@@ -1,0 +1,88 @@
+"""Solver tests on synthetic problems with known structure."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmtpu.assembly.creatematrix import create_matrix_arrays
+from xmtpu.ops import manifold as mf
+from xmtpu.pipeline.synthetic import make_scene, rotation_errors
+from xmtpu.solver import trust_region as tr
+
+
+@pytest.fixture(scope="module")
+def scene_and_C():
+    scene = make_scene(n_cameras=8, n_points=40, obs_per_camera=20, noise=0.0,
+                       seed=7)
+    C, Abar = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    return scene, C, Abar
+
+
+def test_rank3_solve_reaches_zero_cost(scene_and_C):
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    res = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    # noiseless problem: global optimum has zero cost
+    assert float(res.primal) < 1e-8
+    assert float(res.gradnorm) < 1e-4
+
+
+def test_rank3_recovers_rotations(scene_and_C):
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    res = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    # R blocks are (n, 3, o=3) with orthonormal rows; sR block ~ s_i R_i^cw?
+    # compare relative rotations against GT up to gauge + global O(3)
+    R_blocks = np.asarray(res.R)
+    errs = rotation_errors(R_blocks, np.stack([r.T for r in scene.R_gt]))
+    # allow the global sign/reflection ambiguity of the relaxation: errors are
+    # either all ~0 or all ~pi around a common axis; relative rotations kill
+    # the global part so they must vanish
+    assert np.max(errs) < 1e-3
+
+
+def test_scales_recovered(scene_and_C):
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    res = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    s = np.asarray(res.s_ex)
+    # anchored problem: s_0 = 1 pinned; recovered scales match GT ratios
+    np.testing.assert_allclose(s, scene.s_gt / scene.s_gt[0], rtol=1e-4)
+
+
+def test_monotone_descent_property(scene_and_C):
+    """The returned objective is below the starting objective."""
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,))
+    f0 = float(mf.objective(lambda Y: jnp.asarray(C) @ Y, R0, s0, 0.0))
+    res = tr.trust_region_solve(jnp.asarray(C), R0, s0, lam=0.0, gradtol=1e-10)
+    assert float(res.primal) <= f0
+
+
+def test_result_on_manifold(scene_and_C):
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    res = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                jnp.ones((n,)), lam=0.0, gradtol=1e-8)
+    G = jnp.einsum("nko,nlo->nkl", res.R, res.R)
+    np.testing.assert_allclose(np.asarray(G),
+                               np.broadcast_to(np.eye(3), (n, 3, 3)), atol=1e-10)
+    assert float(res.s_ex[0]) == 1.0
+
+
+def test_lambda_regularization_pulls_scales():
+    """With huge lam the scales are pinned near 1 even when GT scales vary."""
+    scene = make_scene(n_cameras=6, n_points=30, obs_per_camera=15,
+                       scale_spread=0.5, seed=11)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    n = C.shape[0] // 3
+    res = tr.trust_region_solve(jnp.asarray(C) * 0 + jnp.asarray(C),
+                                mf.identity_frames(n, 3), jnp.ones((n,)),
+                                lam=1e6, gradtol=1e-8)
+    s = np.asarray(res.s_ex[1:])
+    assert np.abs(s - 1).max() < 0.05

@@ -1,0 +1,72 @@
+"""Abstract Q-matrix operator.
+
+Every hot operation in the solver touches Q only through the product
+``Q @ Y`` with a thin (3n, o) right-hand side (trustregion.h:187,237,553 —
+cuBLAS GEMMs in the reference).  Abstracting that product behind a pytree
+operator lets the dense (v0), sharded, and Pallas block-sparse (view-graph
+structured) implementations swap without touching the solver.
+
+Operators are registered pytrees so they can be passed straight through
+``jax.jit`` boundaries; the *structure* (which implementation) is static,
+the numeric payload is traced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+
+class QOperator:
+    """Base class: a symmetric (3n, 3n) linear operator."""
+
+    @property
+    def dim(self) -> int:  # 3n
+        raise NotImplementedError
+
+    def apply(self, Y: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def __call__(self, Y: jax.Array) -> jax.Array:
+        return self.apply(Y)
+
+
+@register_pytree_node_class
+@dataclass
+class DenseQ(QOperator):
+    """Dense Q — one MXU GEMM per apply.
+
+    f64 by default for parity with the reference (``datatype = double``).
+    """
+
+    C: jax.Array
+
+    @property
+    def dim(self) -> int:
+        return self.C.shape[0]
+
+    def apply(self, Y: jax.Array) -> jax.Array:
+        return jnp.dot(self.C, Y, precision=jax.lax.Precision.HIGHEST)
+
+    def tree_flatten(self):
+        return (self.C,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def q_apply(Q, Y: jax.Array) -> jax.Array:
+    """Apply Q to Y.  Q may be a raw (3n, 3n) array or a QOperator."""
+    if isinstance(Q, QOperator):
+        return Q.apply(Y)
+    return jnp.dot(Q, Y, precision=jax.lax.Precision.HIGHEST)
+
+
+def as_qop(Q) -> QOperator:
+    if isinstance(Q, QOperator):
+        return Q
+    return DenseQ(jnp.asarray(Q))

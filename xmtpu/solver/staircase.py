@@ -1,0 +1,200 @@
+"""Rank-staircase driver: solve / solve_with_init / solve_rank3.
+
+TPU-native re-design of the pybind entry points in
+/root/reference/XM/src/XM_main.cu (solve :180-310, solve_rebuttle :35-178,
+solve_rank3 :312-401).
+
+The staircase runs the Riemannian trust-region solver at rank o = 3, 4, ...,
+certifying each solution with the dual certificate.  On an uncertified rank it
+grows the factor by one zero column and warm-starts an escape linesearch along
+the certificate's minimum-eigenvalue direction divided per-camera by the
+scales (DecentDirectionKernal, XM_main.cu:8-16).  Each rank's jitted solve is
+shape-specialized; the staircase visits at most ``max_rank - 2`` shapes so
+compile caching keeps retraces bounded.
+
+Reference-faithful details:
+
+* ``gradtol`` is passed by reference in the CUDA code and divided by 10 each
+  time a rank converges by gradient norm (trustregion.h:532-536), tightening
+  the tolerance for subsequent ranks.  Replicated here.
+* ``solve_with_init`` (reference ``solve_rebuttle``) loads an initial guess
+  but the o=3 stage still uses the identity frame init — only the scales are
+  warm-started (XM_main.cu:94-104).  Replicated, quirk and all.
+* Status codes: 1 = certified, 2 = max rank reached uncertified,
+  -2 = escape linesearch failed (solver returns best-so-far).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from xmtpu.io.bin_format import load_matrix_from_bin, save_matrix_to_bin
+from xmtpu.ops import manifold as mf
+from xmtpu.solver import trust_region as tr
+from xmtpu.solver.certificate import certify
+
+STATUS_CERTIFIED = 1
+STATUS_MAX_RANK = 2
+STATUS_LINESEARCH_FAIL = -2
+
+
+class SolveResult(NamedTuple):
+    R: np.ndarray        # (3n, o) flat factor, row-orthonormal 3x o blocks
+    s_ex: np.ndarray     # (n,) extended scales, s_ex[0] == 1
+    primal: float
+    rank: int
+    status: int
+    certified: bool
+    gap: float
+    lam_min: float
+    outer_iters: int
+    total_inner: int
+
+
+def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose):
+    cfg = tr.TRConfig(max_time=max_time)
+    if escape_dir is None:
+        res = tr.trust_region_solve(C, R0, s_ex0, lam, gradtol, cfg=cfg)
+    else:
+        res = tr.trust_region_solve(C, R0, s_ex0, lam, gradtol,
+                                    escape_dir=escape_dir, linesearch_step=1.0,
+                                    cfg=cfg)
+    if verbose:
+        o = R0.shape[2]
+        print(f"[xm] rank {o}: primal={float(res.primal):.6e} "
+              f"gradnorm={float(res.gradnorm):.3e} outer={int(res.outer_iters)} "
+              f"inner={int(res.total_inner)} reason={int(res.done_reason)}")
+    return res
+
+
+def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
+                 max_time: float = 1000.0, s0_ex: Optional[np.ndarray] = None,
+                 rank3_only: bool = False, verbose: bool = True) -> SolveResult:
+    """In-memory staircase solve (the reference's file-based ``solve`` without
+    the disk round trip; XM_main.cu:180-310).
+
+    Args:
+      C: (3n, 3n) cost matrix.
+      s0_ex: optional (n,) initial extended scales (solve_rebuttle semantics).
+      rank3_only: single rank-3 TR solve, no certificate (solve_rank3).
+    """
+    C = jnp.asarray(C, jnp.float64)
+    n = C.shape[0] // 3
+    gradtol = float(tol)
+
+    o = 3
+    R0 = mf.identity_frames(n, 3)
+    s_ex = (jnp.asarray(s0_ex, jnp.float64) if s0_ex is not None
+            else jnp.ones((n,), jnp.float64))
+    escape_dir = None
+
+    R_cur, s_cur = R0, s_ex
+    primal = float("nan")
+    status = STATUS_MAX_RANK
+    certified = False
+    gap = float("nan")
+    lam_min = float("nan")
+    outer = inner = 0
+
+    while o <= max_rank:
+        res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir, verbose)
+        outer += int(res.outer_iters)
+        inner += int(res.total_inner)
+
+        if float(res.primal) < 0 and int(res.done_reason) == tr.DONE_LINESEARCH_FAIL:
+            status = STATUS_LINESEARCH_FAIL
+            break
+
+        R_cur, s_cur, primal = res.R, res.s_ex, float(res.primal)
+        if int(res.done_reason) == tr.DONE_GRADTOL:
+            gradtol /= 10.0  # trustregion.h:534 (pass-by-reference tol)
+
+        if rank3_only:
+            status = STATUS_MAX_RANK
+            break
+
+        sR = mf.flatten(mf.scale_blocks(R_cur, s_cur))
+        cert = certify(C, sR, lam, res.primal, verbose=verbose)
+        gap, lam_min = float(cert.gap), float(cert.lam_min)
+
+        if bool(cert.certified):
+            status = STATUS_CERTIFIED
+            certified = True
+            break
+        if o < max_rank:
+            # grow one zero column, warm-start escape direction v / s
+            R0 = jnp.concatenate(
+                [R_cur, jnp.zeros((n, 3, 1), R_cur.dtype)], axis=2)
+            s_ex = s_cur
+            escape_dir = np.asarray(cert.v).reshape(n, 3) / np.asarray(s_cur)[:, None]
+            escape_dir = jnp.asarray(escape_dir.reshape(3 * n))
+            o += 1
+        else:
+            status = STATUS_MAX_RANK
+            break
+
+    return SolveResult(
+        R=np.asarray(mf.flatten(R_cur)),
+        s_ex=np.asarray(s_cur),
+        primal=primal,
+        rank=R_cur.shape[2],
+        status=status,
+        certified=certified,
+        gap=gap,
+        lam_min=lam_min,
+        outer_iters=outer,
+        total_inner=inner,
+    )
+
+
+def _save_result(dataset_path: str, result: SolveResult) -> None:
+    """Write R.bin / s.bin in the reference format (XM_main.cu:283-305)."""
+    save_matrix_to_bin(os.path.join(dataset_path, "R.bin"), result.R)
+    save_matrix_to_bin(os.path.join(dataset_path, "s.bin"),
+                       result.s_ex.reshape(-1, 1))
+
+
+def solve(dataset_path: str, max_rank: int = 10, tol: float = 1e-6,
+          lam: float = 0.0, max_time: float = 1000.0,
+          verbose: bool = True) -> SolveResult:
+    """File-based staircase solve: reads ``Q.bin``, writes ``R.bin``/``s.bin``.
+
+    Drop-in for ``XM.solve(dataset_path, max_rank, tol, lam, max_time)``
+    (XM_main.cu:180).
+    """
+    C, _ = load_matrix_from_bin(os.path.join(dataset_path, "Q.bin"))
+    result = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose)
+    _save_result(dataset_path, result)
+    return result
+
+
+def solve_with_init(dataset_path: str, max_rank: int = 10, tol: float = 1e-6,
+                    lam: float = 0.0, max_time: float = 1000.0,
+                    verbose: bool = True) -> int:
+    """Warm-started solve (reference ``solve_rebuttle``, XM_main.cu:35-178).
+
+    Reads ``R_ini.bin``/``s_ini.bin``; per the reference only the scales
+    survive into the o=3 stage.  Returns the status code.
+    """
+    C, _ = load_matrix_from_bin(os.path.join(dataset_path, "Q.bin"))
+    s_ini, _ = load_matrix_from_bin(os.path.join(dataset_path, "s_ini.bin"))
+    result = solve_arrays(C, max_rank, tol, lam, max_time,
+                          s0_ex=np.asarray(s_ini).ravel(), verbose=verbose)
+    _save_result(dataset_path, result)
+    return result.status
+
+
+def solve_rank3(dataset_path: str, max_rank: int = 10, tol: float = 1e-6,
+                lam: float = 0.0, max_time: float = 1000.0,
+                verbose: bool = True) -> SolveResult:
+    """Single rank-3 TR solve, no certificate (XM_main.cu:312-401)."""
+    C, _ = load_matrix_from_bin(os.path.join(dataset_path, "Q.bin"))
+    result = solve_arrays(C, max_rank, tol, lam, max_time, rank3_only=True,
+                          verbose=verbose)
+    _save_result(dataset_path, result)
+    return result

@@ -1,0 +1,403 @@
+"""Riemannian trust-region solver with truncated CG (RTR-tCG).
+
+TPU-native re-design of ``XMtrustregion``
+(/root/reference/XM/include/XM/trustregion.h:77-724).  The reference drives
+its tCG loop from the host, synchronizing >=3 device->host scalar dot products
+per inner iteration; here the *entire* solve — outer TR loop, inner tCG loop,
+retraction, accept/reject logic — is a pair of nested ``lax.while_loop``s
+inside one jitted computation with zero host round trips.  Scalar control
+state (trust radius, end reasons, shrink counters) lives in the loop carry.
+
+Semantics match the reference:
+
+* manifold/metric/gradient/Hessian: see :mod:`xmtpu.ops.manifold`
+* trust region init ``delta_bar = sqrt(dim)``, ``delta = delta_bar/8`` with
+  ``dim = n(3o-6) + n - 1``                       (trustregion.h:102-106)
+* Steihaug-tCG with negative-curvature and boundary exits, the superlinear
+  stop ``||r|| < ||g|| min(||g||, 0.1)``, and recurrence-tracked
+  ``vdotv/vdotp/pdotp``                           (trustregion.h:559-664)
+* machine-precision guard ``rdotr < 1e-15``       (trustregion.h:572-575)
+* model-decrease check ``loss_qu < 0``            (trustregion.h:667-672)
+* rho-based radius update (0.25x / 2x capped at delta_bar), shrink-streak
+  collapse ``delta *= 1e-3`` after >3 consecutive shrinks, termination when
+  ``delta < 1e-20``                               (trustregion.h:680-701)
+* step rejection restoring the previous iterate when ``loss`` increased or
+  ``rho < 0.1``                                   (trustregion.h:702-708)
+* optional Armijo-halving linesearch along a saddle-escape direction placed
+  in the last frame column, aborting the staircase (``primal = -1``) when the
+  step underflows or no decrease is found          (trustregion.h:360-408)
+
+One deliberate divergence: after a successful escape linesearch the reference
+leaves the cached ``sR`` stale for the first outer iteration
+(trustregion.h:396-397 never refresh ``sR``); xmtpu recomputes it so the first
+gradient is evaluated at a consistent point.  Trajectories can differ there;
+convergence targets (objective / certificate gap) are unaffected.
+
+``max_time`` is enforced by running the jitted while_loop in bounded outer-
+iteration chunks and checking wall-clock between chunks — the device never
+blocks on the host inside a chunk.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from xmtpu.ops import manifold as mf
+from xmtpu.ops.qop import as_qop
+
+# done_reason codes
+RUNNING = 0
+DONE_GRADTOL = 1        # gradnorm < gradtol       (trustregion.h:532-536)
+DONE_RDOTR_SMALL = 2    # tCG residual at machine precision (endreason 5)
+DONE_LOSSQU = 3         # model decrease >= 0      (trustregion.h:669-672)
+DONE_DELTA = 4          # trust radius collapsed   (trustregion.h:697-700)
+DONE_MAX_OUTER = 5
+DONE_MAX_TIME = 6
+DONE_LINESEARCH_FAIL = 7  # staircase abort, primal = -1
+
+# tCG endreason codes (trustregion.h:424-429)
+ER_NEGCURV = 1
+ER_BOUNDARY = 2
+ER_SUPERLINEAR = 3
+ER_SMALL_RDOTR = 5
+ER_MAX_INNER = 6
+
+
+@dataclass(frozen=True)
+class TRConfig:
+    max_outer: int = 1000
+    max_inner: int = 1000
+    max_time: float = float("inf")   # seconds, enforced between chunks
+    chunk: int = 50                  # outer iterations per jitted chunk
+    rdotr_min: float = 1e-15
+    delta_min: float = 1e-20
+    linesearch_alpha_min: float = 1e-20
+
+
+class TRState(NamedTuple):
+    R: jax.Array          # (n, 3, o)
+    s_ex: jax.Array       # (n,)
+    loss: jax.Array       # scalar
+    delta: jax.Array
+    shrink_count: jax.Array
+    endreason: jax.Array  # last tCG end reason
+    k: jax.Array          # outer iteration count
+    total_inner: jax.Array
+    gradnorm: jax.Array
+    done: jax.Array       # bool
+    done_reason: jax.Array
+
+
+class TRResult(NamedTuple):
+    R: jax.Array
+    s_ex: jax.Array
+    primal: jax.Array
+    gradnorm: jax.Array
+    outer_iters: jax.Array
+    total_inner: jax.Array
+    done_reason: jax.Array
+
+
+def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
+               cfg: TRConfig):
+    """Steihaug truncated-CG on the trust-region subproblem.
+
+    Carries the recurrence-tracked norms instead of recomputing them
+    (trustregion.h:642-644).  Returns the step ``v``, the accumulated
+    Hessian-times-step ``hv``, the tCG end reason and iteration count.
+    """
+    s = s_ex[1:]
+    rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
+
+    class Carry(NamedTuple):
+        i: jax.Array
+        vR: jax.Array
+        vs: jax.Array
+        rR: jax.Array
+        rs: jax.Array
+        pR: jax.Array
+        ps: jax.Array
+        hvR: jax.Array
+        hvs: jax.Array
+        rdotr: jax.Array
+        vdotv: jax.Array
+        vdotp: jax.Array
+        pdotp: jax.Array
+        endreason: jax.Array
+        done: jax.Array
+
+    zero = jnp.zeros(())
+    init = Carry(
+        i=jnp.zeros((), jnp.int32),
+        vR=jnp.zeros_like(pgR), vs=jnp.zeros_like(pgs),
+        rR=pgR, rs=pgs,
+        pR=-pgR, ps=-pgs,
+        hvR=jnp.zeros_like(pgR), hvs=jnp.zeros_like(pgs),
+        rdotr=rdotr0, vdotv=zero, vdotp=zero, pdotp=rdotr0,
+        endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+    def cond(c: Carry):
+        return (c.i < cfg.max_inner) & (~c.done)
+
+    def body(c: Carry):
+        rhR, rhs = mf.rhess(qmul, R, s_ex, CsR, egR, egs, c.pR, c.ps, lam)
+        pHp = mf.inner(c.pR, rhR, c.ps, rhs, s)
+        alpha = c.rdotr / pHp
+
+        small = c.rdotr < cfg.rdotr_min
+        negcurv = (~small) & (alpha <= 0.0)
+        boundary_q = c.vdotv + 2.0 * alpha * c.vdotp + alpha * alpha * c.pdotp
+        exceed = (~small) & (~negcurv) & (boundary_q > delta * delta)
+        to_edge = negcurv | exceed
+        normal = (~small) & (~to_edge)
+
+        sqrt_val = jnp.sqrt(
+            jnp.maximum(c.vdotp * c.vdotp + c.pdotp * (delta * delta - c.vdotv), 0.0)
+        )
+        tau = (-c.vdotp + sqrt_val) / c.pdotp
+
+        coef = jnp.where(to_edge, tau, jnp.where(normal, alpha, 0.0))
+        vR = c.vR + coef * c.pR
+        vs = c.vs + coef * c.ps
+        hvR = c.hvR + coef * rhR
+        hvs = c.hvs + coef * rhs
+
+        step_a = jnp.where(normal, alpha, 0.0)
+        rR = c.rR + step_a * rhR
+        rs = c.rs + step_a * rhs
+
+        rdotr_new = mf.inner(rR, rR, rs, rs, s)
+        superlin = normal & (
+            jnp.sqrt(rdotr_new) < gradnorm * jnp.minimum(gradnorm, 0.1)
+        )
+
+        beta = rdotr_new / c.rdotr
+        pR = jnp.where(normal, -rR + beta * c.pR, c.pR)
+        ps = jnp.where(normal, -rs + beta * c.ps, c.ps)
+
+        vdotv = jnp.where(normal, c.vdotv + 2 * alpha * c.vdotp + alpha**2 * c.pdotp, c.vdotv)
+        vdotp = jnp.where(normal, beta * (c.vdotp + alpha * c.pdotp), c.vdotp)
+        pdotp = jnp.where(normal, beta * beta * c.pdotp + rdotr_new, c.pdotp)
+        rdotr = jnp.where(normal, rdotr_new, c.rdotr)
+
+        endreason = jnp.where(
+            small, ER_SMALL_RDOTR,
+            jnp.where(negcurv, ER_NEGCURV,
+                      jnp.where(exceed, ER_BOUNDARY,
+                                jnp.where(superlin, ER_SUPERLINEAR, ER_MAX_INNER))),
+        ).astype(jnp.int32)
+        done = small | to_edge | superlin
+        return Carry(c.i + 1, vR, vs, rR, rs, pR, ps, hvR, hvs,
+                     rdotr, vdotv, vdotp, pdotp, endreason, done)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out.vR, out.vs, out.hvR, out.hvs, out.endreason, out.i
+
+
+def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig) -> TRState:
+    """One outer TR iteration (trustregion.h:452-709)."""
+    s = st.s_ex[1:]
+    egR, egs = mf.egrad(qmul, st.R, st.s_ex, lam)
+    pgR, pgs = mf.project(st.R, s, egR, egs)
+    rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
+    gradnorm = jnp.sqrt(rdotr0)
+
+    hit_gradtol = gradnorm < gradtol
+    stop_now = hit_gradtol
+    done_reason_now = jnp.where(hit_gradtol, DONE_GRADTOL, RUNNING).astype(jnp.int32)
+
+    def stopped(_):
+        return TRState(st.R, st.s_ex, st.loss, st.delta, st.shrink_count,
+                       st.endreason, st.k, st.total_inner, gradnorm,
+                       jnp.asarray(True), done_reason_now)
+
+    def work(_):
+        sR = mf.flatten(mf.scale_blocks(st.R, st.s_ex))
+        CsR = mf.unflatten(2.0 * qmul(sR))
+        vR, vs, hvR, hvs, endreason, iters = _inner_tcg(
+            qmul, st.R, st.s_ex, CsR, egR, egs, pgR, pgs, gradnorm, st.delta,
+            lam, cfg)
+        total_inner = st.total_inner + iters
+
+        loss_qu = (mf.inner(vR, hvR, vs, hvs, s) / 2.0
+                   + mf.inner(vR, pgR, vs, pgs, s))
+        bad_model = loss_qu >= 0.0
+
+        R_new, s_ex_new = mf.retract(st.R, st.s_ex, vR, vs, 1.0)
+        loss_new = mf.objective(qmul, R_new, s_ex_new, lam)
+        rho = (loss_new - st.loss) / loss_qu
+
+        shrink = rho < 0.25
+        expand = (rho > 0.75) & (endreason <= ER_BOUNDARY)
+        delta = jnp.where(shrink, st.delta * 0.25,
+                          jnp.where(expand, jnp.minimum(st.delta * 2.0, delta_bar),
+                                    st.delta))
+        shrink_count = jnp.where(shrink, st.shrink_count + 1, 0)
+        collapse = shrink_count > 3
+        delta = jnp.where(collapse, delta * 1e-3, delta)
+        shrink_count = jnp.where(collapse, 0, shrink_count)
+        delta_dead = collapse & (delta < cfg.delta_min)
+
+        # rejection keeps the previous iterate (trustregion.h:702-708); the
+        # delta-collapse break in the reference skips the rejection check, so
+        # a dead radius keeps the new step.
+        reject = ((loss_new > st.loss) | (rho < 0.1)) & (~delta_dead)
+        keep_new = (~bad_model) & (~reject)
+        R_out = jnp.where(keep_new, R_new, st.R)
+        s_ex_out = jnp.where(keep_new, s_ex_new, st.s_ex)
+        loss_out = jnp.where(keep_new & (~bad_model), loss_new, st.loss)
+        loss_out = jnp.where(bad_model, st.loss, loss_out)
+
+        hit_small = endreason == ER_SMALL_RDOTR
+        done = bad_model | delta_dead | hit_small
+        done_reason = jnp.where(
+            bad_model, DONE_LOSSQU,
+            jnp.where(delta_dead, DONE_DELTA,
+                      jnp.where(hit_small, DONE_RDOTR_SMALL, RUNNING))
+        ).astype(jnp.int32)
+        # bad_model: no step taken; delta/shrink updates from this pass are
+        # discarded too (the reference breaks before touching them).
+        delta_out = jnp.where(bad_model, st.delta, delta)
+        shrink_out = jnp.where(bad_model, st.shrink_count, shrink_count)
+        return TRState(R_out, s_ex_out, loss_out, delta_out, shrink_out,
+                       endreason, st.k + 1, total_inner, gradnorm, done,
+                       done_reason)
+
+    return jax.lax.cond(stop_now, stopped, work, None)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kmax"))
+def _run_chunk(Q, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
+               kmax: int) -> TRState:
+    qmul = as_qop(Q).apply
+
+    def cond(c: TRState):
+        return (~c.done) & (c.k < kmax)
+
+    def body(c: TRState):
+        return _outer_step(qmul, c, lam, gradtol, delta_bar, cfg)
+
+    return jax.lax.while_loop(cond, body, st)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _escape_linesearch(Q, R, s_ex, v_scaled, step0, lam, cfg: TRConfig):
+    """Armijo-halving linesearch along the saddle-escape direction
+    (trustregion.h:360-408).
+
+    ``v_scaled`` is the certificate's min-eigenvalue direction already divided
+    per-camera by ``s`` (XM_main.cu DecentDirectionKernal, :8-16); it enters
+    as the **last column** of the frame blocks, scales are left untouched, and
+    the step is taken with a *negative* learning rate.
+
+    Returns ``(R_new, f_new, ok)``; ``ok=False`` reproduces the reference's
+    "linesearch failed! BM stopped!" abort.
+    """
+    qmul = as_qop(Q).apply
+    n, _, o = R.shape
+    D = jnp.zeros_like(R).at[:, :, o - 1].set(v_scaled.reshape(n, 3))
+    f0 = mf.objective(qmul, R, s_ex, lam)
+
+    def try_alpha(alpha):
+        R_cand = mf.mgs_rows(R - alpha * D)
+        f = mf.objective(qmul, R_cand, s_ex, lam)
+        return R_cand, f
+
+    R0_cand, fa = try_alpha(step0)
+
+    def cond(c):
+        alpha, f, _ = c
+        return (f > f0) & (alpha >= cfg.linesearch_alpha_min)
+
+    def body(c):
+        alpha, _, _ = c
+        alpha = alpha / 2.0
+        R_cand, f = try_alpha(alpha)
+        return alpha, f, R_cand
+
+    alpha, f, R_new = jax.lax.while_loop(cond, body, (jnp.asarray(step0), fa, R0_cand))
+    ok = (f0 - f > 0.0) & (alpha >= cfg.linesearch_alpha_min)
+    return R_new, f, ok
+
+
+def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
+                       escape_dir=None, linesearch_step=0.0,
+                       cfg: TRConfig = TRConfig()) -> TRResult:
+    """Solve ``min <sR, Q sR> + lam sum((s^2-1)^2)`` over the product manifold.
+
+    Drop-in semantic equivalent of ``XMtrustregion`` (trustregion.h:77).
+
+    Args:
+      Q: (3n, 3n) dense array or QOperator.
+      R0: (n, 3, o) initial frames (rows orthonormal).
+      s_ex0: (n,) initial extended scales, ``s_ex0[0] == 1``.
+      escape_dir: optional (3n,) saddle-escape direction, **already divided by
+        s per camera** (the staircase does this, mirroring
+        DecentDirectionKernal).
+      linesearch_step: initial step for the escape linesearch; 0 disables.
+    """
+    R0 = jnp.asarray(R0, jnp.float64)
+    s_ex0 = jnp.asarray(s_ex0, jnp.float64)
+    n, _, o = R0.shape
+    dim = n * (3 * o - 6) + n - 1
+    delta_bar = jnp.sqrt(jnp.asarray(float(dim)))
+    delta0 = delta_bar / 8.0
+
+    R_cur, s_cur = R0, s_ex0
+    if linesearch_step != 0.0 and escape_dir is not None:
+        R_cur, f_ls, ok = _escape_linesearch(
+            Q, R0, s_ex0, jnp.asarray(escape_dir, jnp.float64),
+            float(linesearch_step), lam, cfg)
+        if not bool(ok):
+            return TRResult(R0, s_ex0, jnp.asarray(-1.0), jnp.asarray(jnp.inf),
+                            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                            jnp.asarray(DONE_LINESEARCH_FAIL, jnp.int32))
+
+    qmul = as_qop(Q).apply
+    loss0 = mf.objective(qmul, R_cur, s_cur, lam)
+    st = TRState(
+        R=R_cur, s_ex=s_cur, loss=loss0, delta=delta0,
+        shrink_count=jnp.zeros((), jnp.int32),
+        endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
+        k=jnp.zeros((), jnp.int32),
+        total_inner=jnp.zeros((), jnp.int32),
+        gradnorm=jnp.asarray(jnp.inf),
+        done=jnp.asarray(False),
+        done_reason=jnp.asarray(RUNNING, jnp.int32),
+    )
+
+    lam = jnp.asarray(lam, jnp.float64)
+    gradtol = jnp.asarray(gradtol, jnp.float64)
+
+    deadline = time.monotonic() + cfg.max_time
+    timed_out = False
+    if cfg.max_time == float("inf"):
+        st = _run_chunk(Q, st, lam, gradtol, delta_bar, cfg, cfg.max_outer)
+    else:
+        k_done = 0
+        while k_done < cfg.max_outer:
+            kmax = min(k_done + cfg.chunk, cfg.max_outer)
+            st = _run_chunk(Q, st, lam, gradtol, delta_bar, cfg, kmax)
+            k_done = int(st.k)
+            if bool(st.done):
+                break
+            if time.monotonic() > deadline:
+                timed_out = True
+                break
+
+    done_reason = st.done_reason
+    if timed_out:
+        done_reason = jnp.asarray(DONE_MAX_TIME, jnp.int32)
+    elif not bool(st.done):
+        done_reason = jnp.asarray(DONE_MAX_OUTER, jnp.int32)
+
+    return TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
+                    st.total_inner, done_reason)

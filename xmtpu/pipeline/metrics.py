@@ -157,7 +157,7 @@ def ate_rpe(R_est, t_est, R_gt, t_gt, s_g, R_g, t_g, max_pairs_per_cam=100,
                      Re[jj].transpose(0, 2, 1), Re[ii])
     cos = np.clip((np.trace(Mrel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
     RPE_R = np.abs(np.arccos(cos))
-    d_gt = centers_gt[:, jj] - centers_gt[:, ii]
+    d_gt = centers_gt[:, ii] - centers_gt[:, jj]
     d_est = s_g * (R_g @ (t_est[:, ii] - t_est[:, jj]))
     RPE_T = np.linalg.norm(d_gt - d_est, axis=0)
 

@@ -67,11 +67,10 @@ def make_scene(n_cameras: int = 8, n_points: int = 60, obs_per_camera: int = 40,
 
     # every point is seen by >= 2 cameras (a clean view graph: the assembly
     # divides by per-landmark weight sums), every camera sees >= 3 points
-    avg_obs = max(2, (obs_per_camera * N) // M)
+    avg_obs = min(N, max(2, round(obs_per_camera * N / M)))
     edge_set = set()
     for j in range(M):
-        k = min(N, max(2, int(rng.integers(2, avg_obs + 1))))
-        for i in rng.choice(N, size=k, replace=False):
+        for i in rng.choice(N, size=avg_obs, replace=False):
             edge_set.add((int(i) + 1, j + 1))
     for i in range(N):  # top up sparse cameras
         while sum(1 for (a, _) in edge_set if a == i + 1) < 3:

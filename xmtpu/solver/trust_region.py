@@ -41,6 +41,8 @@ blocks on the host inside a chunk.
 from __future__ import annotations
 
 import time
+
+import numpy as np
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -289,6 +291,24 @@ def _run_chunk(Q, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
+    """Initial TR state, fully on device (host-side eager ops cost ~20 ms
+    each on remote-dispatch platforms)."""
+    qmul = as_qop(Q).apply
+    loss0 = mf.objective(qmul, R0, s_ex0, lam)
+    return TRState(
+        R=R0, s_ex=s_ex0, loss=loss0, delta=delta_bar / 8.0,
+        shrink_count=jnp.zeros((), jnp.int32),
+        endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
+        k=jnp.zeros((), jnp.int32),
+        total_inner=jnp.zeros((), jnp.int32),
+        gradnorm=jnp.asarray(jnp.inf, jnp.float64),
+        done=jnp.asarray(False),
+        done_reason=jnp.asarray(RUNNING, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _escape_linesearch(Q, R, s_ex, v_scaled, step0, lam, cfg: TRConfig):
     """Armijo-halving linesearch along the saddle-escape direction
     (trustregion.h:360-408).
@@ -348,8 +368,10 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
     s_ex0 = jnp.asarray(s_ex0, jnp.float64)
     n, _, o = R0.shape
     dim = n * (3 * o - 6) + n - 1
-    delta_bar = jnp.sqrt(jnp.asarray(float(dim)))
-    delta0 = delta_bar / 8.0
+    delta_bar = np.sqrt(float(dim))
+    lam = jnp.asarray(lam, jnp.float64)
+    gradtol = jnp.asarray(gradtol, jnp.float64)
+    delta_bar_j = jnp.asarray(delta_bar, jnp.float64)
 
     R_cur, s_cur = R0, s_ex0
     if linesearch_step != 0.0 and escape_dir is not None:
@@ -361,31 +383,17 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                             jnp.asarray(DONE_LINESEARCH_FAIL, jnp.int32))
 
-    qmul = as_qop(Q).apply
-    loss0 = mf.objective(qmul, R_cur, s_cur, lam)
-    st = TRState(
-        R=R_cur, s_ex=s_cur, loss=loss0, delta=delta0,
-        shrink_count=jnp.zeros((), jnp.int32),
-        endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
-        k=jnp.zeros((), jnp.int32),
-        total_inner=jnp.zeros((), jnp.int32),
-        gradnorm=jnp.asarray(jnp.inf),
-        done=jnp.asarray(False),
-        done_reason=jnp.asarray(RUNNING, jnp.int32),
-    )
-
-    lam = jnp.asarray(lam, jnp.float64)
-    gradtol = jnp.asarray(gradtol, jnp.float64)
+    st = _init_state(Q, R_cur, s_cur, lam, delta_bar_j, cfg)
 
     deadline = time.monotonic() + cfg.max_time
     timed_out = False
     if cfg.max_time == float("inf"):
-        st = _run_chunk(Q, st, lam, gradtol, delta_bar, cfg, cfg.max_outer)
+        st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, cfg.max_outer)
     else:
         k_done = 0
         while k_done < cfg.max_outer:
             kmax = min(k_done + cfg.chunk, cfg.max_outer)
-            st = _run_chunk(Q, st, lam, gradtol, delta_bar, cfg, kmax)
+            st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax)
             k_done = int(st.k)
             if bool(st.done):
                 break

@@ -87,3 +87,17 @@ def test_dual_value_structure(solved_problem):
     if float(cert.lam_min) >= 0:
         np.testing.assert_allclose(float(cert.gap),
                                    float(cert.primal - cert.dual), rtol=1e-10)
+
+
+def test_lanczos_certificate_matches_eigh(solved_problem):
+    from xmtpu.ops import manifold as mf
+
+    C, res = solved_problem
+    sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+    c1 = certify(jnp.asarray(C), sR, 0.0, res.primal, method="eigh")
+    c2 = certify(jnp.asarray(C), sR, 0.0, res.primal, method="lanczos")
+    assert bool(c1.certified) == bool(c2.certified)
+    np.testing.assert_allclose(float(c1.lam_min), float(c2.lam_min),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(c1.gap), float(c2.gap),
+                               rtol=1e-5, atol=1e-7)

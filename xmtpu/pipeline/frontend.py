@@ -80,6 +80,28 @@ def parse_glomap_tempdata(tempdata_dir: str) -> GlomapExport:
     return GlomapExport(matches, filenames, relposes, N, M)
 
 
+def tracks_from_feature_matches(image_ids1, feature_ids1, image_ids2,
+                                feature_ids2):
+    """Concatenate pairwise feature matches into landmark tracks — the
+    GLOMAP TrackEstablishment stage
+    (deps/glomap/glomap/controllers/track_establishment.{h,cc}).
+
+    Observations are (image_id, feature_id) pairs; matched observations are
+    merged by union-find (native C++ kernel when built).  Returns
+    ``(obs_keys, track_ids)``: the unique observation keys
+    ``image_id << 32 | feature_id`` and their track id (descending size
+    order, matching GLOMAP's size-sorted tracks).
+    """
+    from xmtpu.runtime import establish_tracks
+
+    k1 = (np.asarray(image_ids1, np.int64) << 32) | np.asarray(feature_ids1, np.int64)
+    k2 = (np.asarray(image_ids2, np.int64) << 32) | np.asarray(feature_ids2, np.int64)
+    keys, inv = np.unique(np.concatenate([k1, k2]), return_inverse=True)
+    a, b = inv[:len(k1)], inv[len(k1):]
+    _, track_of = establish_tracks(a, b, len(keys))
+    return keys, track_of
+
+
 class ViewGraph(NamedTuple):
     frame: np.ndarray    # (E,) 0-based frame ids
     track: np.ndarray    # (E,) 0-based landmark/track ids

@@ -20,8 +20,8 @@ Edges are 1-based ``[frame, landmark]`` throughout, matching the reference.
 from __future__ import annotations
 
 import numpy as np
-from scipy.sparse import coo_matrix
-from scipy.sparse.csgraph import connected_components
+
+from xmtpu.runtime import connected_component_labels
 
 
 def delete_threshold(min_threshold: int, M: int, data: np.ndarray):
@@ -95,11 +95,10 @@ def checklandmarks(edges, landmarks, weights, rgbs, N, M,
         edges, [weights, landmarks, rgbs], indices_frame)
 
     # largest connected component of the bipartite frame-landmark graph
+    # (native union-find when built; see xmtpu/runtime)
     f = edges[:, 0] - 1
     l = edges[:, 1] - 1
-    graph = coo_matrix(
-        (np.ones(len(edges)), (f, l + N)), shape=(N + M, N + M))
-    n_comp, labels = connected_components(graph + graph.T, directed=False)
+    n_comp, labels = connected_component_labels(f, l + N, N + M)
     print("Number of connected components: ", n_comp)
     if n_comp > 1:
         sizes = np.bincount(labels[np.unique(np.concatenate([f, l + N]))],

@@ -40,7 +40,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from xmtpu.ops.lanczos import lanczos_min_eig
 from xmtpu.ops.qop import as_qop
+
+# above this many rows, 'auto' switches the min-eig solve from full eigh to
+# Lanczos (O(k n^2) matvecs, no O(n^2) eigenvector matrix)
+LANCZOS_AUTO_DIM = 1500
 
 
 class CertificateResult(NamedTuple):
@@ -128,9 +133,13 @@ def _min_eig_bound(n: int) -> float:
     return 100.0
 
 
-@jax.jit
-def _certify_core(C, sR, lam, primal):
-    """Builds Z, solves the dual LS exactly, eigendecomposes Z.
+@partial(jax.jit, static_argnames=("use_lanczos",))
+def _certify_core(C, sR, lam, primal, use_lanczos: bool = False):
+    """Builds Z, solves the dual LS exactly, extracts the minimum eigenpair.
+
+    ``use_lanczos=True`` replaces the O(n^3) full eigendecomposition with a
+    matvec-driven Lanczos solve (see xmtpu.ops.lanczos) — the TPU-native
+    answer to the reference's syevd scaling wall.
 
     Returns (lam_min, v, gap, dual).
     """
@@ -167,18 +176,23 @@ def _certify_core(C, sR, lam, primal):
     cols = (3 * jnp.arange(n))[:, None, None] + jnp.arange(3)[None, None, :]
     Z = Z.at[rows, cols].add(-Dall)
 
-    w, V = jnp.linalg.eigh(Z)
-    lam_min = w[0]
-    v = V[:, 0]
+    if use_lanczos:
+        lam_min, v, resid = lanczos_min_eig(lambda x: Z @ x, Z.shape[0])
+    else:
+        w, V = jnp.linalg.eigh(Z)
+        lam_min = w[0]
+        v = V[:, 0]
+        resid = jnp.zeros(())
 
     # duality gap (checkeig.h:320-337)
     dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
     K = 3.0 * n
     gap = primal - dual - K * jnp.minimum(0.0, lam_min)
-    return lam_min, v, gap, dual
+    return lam_min, v, gap, dual, resid
 
 
-def certify(C, sR, lam, primal, verbose: bool = False) -> CertificateResult:
+def certify(C, sR, lam, primal, verbose: bool = False,
+            method: str = "auto") -> CertificateResult:
     """Check global optimality of the rank-o point ``sR``.
 
     Args:
@@ -186,6 +200,8 @@ def certify(C, sR, lam, primal, verbose: bool = False) -> CertificateResult:
       sR: (3n, o) scaled-frame factor, ``X = sR sR^T``.
       lam: scale regularization weight.
       primal: primal objective value at ``sR``.
+      method: min-eig solver — "eigh", "lanczos", or "auto" (eigh below
+        ``LANCZOS_AUTO_DIM`` rows, Lanczos above).
     """
     Q = as_qop(C)
     Cmat = Q.C if hasattr(Q, "C") else jnp.asarray(C)
@@ -194,9 +210,17 @@ def certify(C, sR, lam, primal, verbose: bool = False) -> CertificateResult:
     lam = jnp.asarray(lam, jnp.float64)
     primal = jnp.asarray(primal, jnp.float64)
 
-    lam_min, v, gap, dual = _certify_core(Cmat, sR, lam, primal)
+    if method == "auto":
+        use_lanczos = sR.shape[0] > LANCZOS_AUTO_DIM
+    else:
+        use_lanczos = method == "lanczos"
+    lam_min, v, gap, dual, resid = _certify_core(Cmat, sR, lam, primal,
+                                                 use_lanczos=use_lanczos)
     bound = _min_eig_bound(n)
-    certified = (gap / primal < 1e-3) | (lam_min > -bound)
+    # the Lanczos Ritz value only bounds lam_min from above; subtract its
+    # residual so an unresolved negative eigenvalue can't slip through the
+    # min-eig acceptance branch (eigh path: resid == 0, exact reference rule)
+    certified = (gap / primal < 1e-3) | (lam_min - resid > -bound)
     if verbose:
         print(f"[certify] primal={float(primal):.6e} dual={float(dual):.6e} "
               f"gap={float(gap):.3e} lam_min={float(lam_min):.3e} "

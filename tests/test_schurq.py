@@ -1,0 +1,63 @@
+"""Implicit Schur operator vs the dense assembled C."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmtpu.assembly.creatematrix import create_matrix_arrays
+from xmtpu.ops import manifold as mf
+from xmtpu.ops.schurq import SchurQ
+from xmtpu.pipeline.synthetic import make_scene
+from xmtpu.solver import trust_region as tr
+
+
+@pytest.fixture(scope="module")
+def problem():
+    scene = make_scene(n_cameras=8, n_points=40, obs_per_camera=20,
+                       noise=1e-3, seed=77)
+    C, Abar = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    return scene, C, Abar, Q
+
+
+def test_apply_matches_dense(problem):
+    scene, C, Abar, Q = problem
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.normal(size=(C.shape[0], 4)))
+    np.testing.assert_allclose(np.asarray(Q.apply(Y)), C @ np.asarray(Y),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_recover_matches_abar(problem):
+    scene, C, Abar, Q = problem
+    rng = np.random.default_rng(1)
+    sR = jnp.asarray(rng.normal(size=(C.shape[0], 3)))
+    y = np.asarray(Q.recover_y(sR))
+    np.testing.assert_allclose(y, Abar @ np.asarray(sR), rtol=1e-8, atol=1e-9)
+
+
+def test_solver_runs_on_schurq(problem):
+    """The TR solver accepts the implicit operator unchanged and reaches the
+    same optimum as the dense path."""
+    scene, C, Abar, Q = problem
+    n = Q.n_cameras
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,))
+    res_dense = tr.trust_region_solve(jnp.asarray(C), R0, s0, lam=0.0,
+                                      gradtol=1e-8)
+    res_schur = tr.trust_region_solve(Q, R0, s0, lam=0.0, gradtol=1e-8)
+    np.testing.assert_allclose(float(res_schur.primal),
+                               float(res_dense.primal), rtol=1e-6, atol=1e-10)
+
+
+def test_staircase_on_schurq(problem):
+    """Full certified staircase through the implicit operator (matvec-only
+    certificate) matches the dense staircase."""
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C, Abar, Q = problem
+    res_d = solve_arrays(C, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    res_s = solve_arrays(Q, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    assert res_s.certified == res_d.certified
+    np.testing.assert_allclose(res_s.primal, res_d.primal, rtol=1e-6,
+                               atol=1e-10)

@@ -86,3 +86,40 @@ def test_lambda_regularization_pulls_scales():
                                 lam=1e6, gradtol=1e-8)
     s = np.asarray(res.s_ex[1:])
     assert np.abs(s - 1).max() < 0.05
+
+
+def test_f32_solver_reaches_optimum(scene_and_C):
+    """The hardware-precision (f32) path lands within f32 tolerance of the
+    f64 optimum -- the TPU fast path (f64 matmul is software-emulated)."""
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    cfg32 = tr.TRConfig.for_dtype(jnp.float32)
+    res64 = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                  jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    res32 = tr.trust_region_solve(
+        jnp.asarray(C, jnp.float32),
+        mf.identity_frames(n, 3, dtype=jnp.float32),
+        jnp.ones((n,), jnp.float32), lam=0.0, gradtol=1e-5, cfg=cfg32,
+        dtype=jnp.float32)
+    assert res32.R.dtype == jnp.float32
+    # noiseless global optimum is 0; f32 should reach ~1e-6-level cost
+    assert float(res32.primal) < 1e-4
+    # frames still orthonormal to f32 precision
+    G = jnp.einsum("nko,nlo->nkl", res32.R, res32.R)
+    np.testing.assert_allclose(np.asarray(G),
+                               np.broadcast_to(np.eye(3), (n, 3, 3)),
+                               atol=1e-5)
+
+
+def test_mixed_precision_matches_f64(scene_and_C):
+    scene, C, _ = scene_and_C
+    n = C.shape[0] // 3
+    res64 = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                  jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    resmx = tr.trust_region_solve_mixed(jnp.asarray(C),
+                                        mf.identity_frames(n, 3),
+                                        jnp.ones((n,)), lam=0.0, gradtol=1e-10)
+    assert resmx.R.dtype == jnp.float64
+    np.testing.assert_allclose(float(resmx.primal), float(res64.primal),
+                               rtol=1e-6, atol=1e-9)
+    assert float(resmx.gradnorm) < 1e-4

@@ -70,3 +70,17 @@ def as_qop(Q) -> QOperator:
     if isinstance(Q, QOperator):
         return Q
     return DenseQ(jnp.asarray(Q))
+
+
+def cast_qop(Q, dtype):
+    """Cast an operator's floating-point leaves (ids/index leaves untouched).
+
+    Used by the mixed-precision ladder to derive the f32 operator from the
+    f64 one.
+    """
+    import jax
+
+    Q = as_qop(Q)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        Q)

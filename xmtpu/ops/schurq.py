@@ -1,0 +1,182 @@
+"""Implicit Schur-complement Q operator: apply C without materializing it.
+
+The reference assembles the dense 3N x 3N cost matrix
+``C = Q1 - Vtp_bar Mbar^-1 Vtp_bar^T`` (translations/landmarks eliminated in
+closed form) and feeds it to dense GEMMs — fine to N ~ 2000, fatal beyond
+(O(N^2) memory; /root/reference/utils/creatematrix.py densifies at :175-177,
+SURVEY.md section 5.7 calls this the scaling wall).
+
+This operator keeps the *factored* form and applies it per matvec:
+
+    C Y = Q1 Y - Vtp_bar ( Mbar^{-1} ( Vtp_bar^T Y ) )
+
+where ``Mbar = [[diag(q2_bar), -V3_bar], [-V3_bar^T, diag(q3)]]`` is the
+anchored translation/landmark block and the inner solve is the *exact* block
+elimination through the Cholesky factor of the camera-camera Schur complement
+``VT = diag(q2_bar) - V3F V3F^T`` (the same VT the reference factors,
+creatematrix.py:156-170):
+
+    x_A = VT^-1 (b_A + V3F (q3^-1/2 o b_B))
+    x_B = q3^-1 o b_B + q3^-1/2 o (V3F^T x_A)
+
+Cost per matvec: O(E o) edge gathers / scatter-adds (``segment_sum``) +
+O(N^2 o) for the VT solve — linear in observations for the landmark part and
+independent of M for memory: O(E + N^2) instead of O(9 N^2) + O(N M).
+
+The same factorization recovers translations/landmarks
+(``recover_y(sR) = -Mbar^{-1} Vtp_bar^T sR``), replacing the dense
+(N+M-1) x 3N ``Abar`` operator (recoversolution.py:75-85 equivalent).
+
+Setup materializes an (N, M) ``V3F`` slab once to form VT's Gram on the MXU;
+a landmark-chunked accumulation would drop that transient at extreme scale
+(follow-up).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import register_pytree_node_class
+
+from xmtpu.ops.qop import QOperator
+
+
+@register_pytree_node_class
+@dataclass
+class SchurQ(QOperator):
+    """Factored SBA cost operator.
+
+    Fields (n cameras, m landmarks, e observations; ids 0-based):
+      Q1: (n, 3, 3) per-camera weighted landmark Grams
+      V1: (n, 3) per-camera weighted landmark sums
+      f, l: (e,) observation frame / landmark ids
+      w: (e,) observation weights
+      wx: (e, 3) weighted lifted observations ``w_e x_e``
+      inv_q3, inv_sqrt_q3: (m,) inverse (sqrt) landmark weight sums
+      VT_chol: (n-1, n-1) lower Cholesky factor of the camera Schur complement
+    """
+
+    Q1: jax.Array
+    V1: jax.Array
+    f: jax.Array
+    l: jax.Array
+    w: jax.Array
+    wx: jax.Array
+    inv_q3: jax.Array
+    inv_sqrt_q3: jax.Array
+    VT_chol: jax.Array
+
+    def tree_flatten(self):
+        return ((self.Q1, self.V1, self.f, self.l, self.w, self.wx,
+                 self.inv_q3, self.inv_sqrt_q3, self.VT_chol), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def build(weights, edges, landmarks) -> "SchurQ":
+        """From the same inputs as ``create_matrix`` (1-based edges)."""
+        edges = np.asarray(edges)
+        f = jnp.asarray(edges[:, 0] - 1, jnp.int32)
+        l = jnp.asarray(edges[:, 1] - 1, jnp.int32)
+        N = int(edges[:, 0].max())
+        M = int(edges[:, 1].max())
+        return _build_schurq(jnp.asarray(weights, jnp.float64).ravel(), f, l,
+                             jnp.asarray(landmarks, jnp.float64), N, M)
+
+    @property
+    def n_cameras(self) -> int:
+        return self.Q1.shape[0]
+
+    @property
+    def n_landmarks(self) -> int:
+        return self.inv_q3.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return 3 * self.n_cameras
+
+    # ---- structured pieces ----
+
+    def _vtpT(self, Yb):
+        """``Vtp_bar^T Y``: (n,3,o) -> (b_A (n-1,o), b_B (m,o))."""
+        b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
+        gathered = jnp.einsum("ea,eao->eo", self.wx, Yb[self.f])
+        b_B = -jax.ops.segment_sum(gathered, self.l, self.n_landmarks)
+        return b_A, b_B
+
+    def _vtp(self, z_A, z_B):
+        """``Vtp_bar [z_A; z_B]`` -> (n, 3, o)."""
+        z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
+        out = jnp.einsum("na,no->nao", self.V1, z_t)
+        contrib = jnp.einsum("ea,eo->eao", self.wx, z_B[self.l])
+        return out - jax.ops.segment_sum(contrib, self.f, self.n_cameras)
+
+    def _v3f_coef(self):
+        # V3F entries: w_e / sqrt(q3_l); frame-0 rows are excluded from V3_bar
+        return self.w * self.inv_sqrt_q3[self.l] * (self.f > 0)
+
+    def _v3f(self, z_B):
+        """``V3F z_B``: (m, o) -> (n-1, o)."""
+        coef = self._v3f_coef()
+        out = jax.ops.segment_sum(coef[:, None] * z_B[self.l], self.f,
+                                  self.n_cameras)
+        return out[1:]
+
+    def _v3fT(self, x_A):
+        """``V3F^T x_A``: (n-1, o) -> (m, o)."""
+        coef = self._v3f_coef()
+        x_pad = jnp.concatenate([jnp.zeros_like(x_A[:1]), x_A], axis=0)
+        return jax.ops.segment_sum(coef[:, None] * x_pad[self.f], self.l,
+                                   self.n_landmarks)
+
+    def solve_M(self, b_A, b_B):
+        """Exact solve of ``Mbar [x_A; x_B] = [b_A; b_B]``."""
+        t = self.inv_sqrt_q3[:, None] * b_B
+        rhs = b_A + self._v3f(t)
+        x_A = jax.scipy.linalg.cho_solve((self.VT_chol, True), rhs)
+        x_B = (self.inv_q3[:, None] * b_B
+               + self.inv_sqrt_q3[:, None] * self._v3fT(x_A))
+        return x_A, x_B
+
+    # ---- operator interface ----
+
+    def apply(self, Y: jax.Array) -> jax.Array:
+        n = self.n_cameras
+        Yb = Y.reshape(n, 3, Y.shape[-1])
+        out = jnp.einsum("nab,nbo->nao", self.Q1, Yb)
+        b_A, b_B = self._vtpT(Yb)
+        z_A, z_B = self.solve_M(b_A, b_B)
+        out = out - self._vtp(z_A, z_B)
+        return out.reshape(3 * n, Y.shape[-1])
+
+    def recover_y(self, sR: jax.Array) -> jax.Array:
+        """Optimal translations/landmarks for a solved factor: the (N+M-1, o)
+        stack ``[t_1..t_{N-1}; p_0..p_{M-1}]`` = ``Abar @ sR``."""
+        n = self.n_cameras
+        Yb = sR.reshape(n, 3, sR.shape[-1])
+        b_A, b_B = self._vtpT(Yb)
+        z_A, z_B = self.solve_M(b_A, b_B)
+        return jnp.concatenate([-z_A, -z_B], axis=0)
+
+
+@partial(jax.jit, static_argnames=("N", "M"))
+def _build_schurq(w, f, l, x, N: int, M: int) -> SchurQ:
+    q2 = jax.ops.segment_sum(w, f, N)
+    q3 = jax.ops.segment_sum(w, l, M)
+    wx = w[:, None] * x
+    Q1 = jax.ops.segment_sum(wx[:, :, None] * x[:, None, :], f, N)
+    V1 = jax.ops.segment_sum(wx, f, N)
+    inv_q3 = 1.0 / q3
+    inv_sqrt_q3 = 1.0 / jnp.sqrt(q3)
+
+    coef = w * inv_sqrt_q3[l] * (f > 0)
+    V3F = jnp.zeros((N, M), w.dtype).at[f, l].add(coef)[1:]
+    VT = jnp.diag(q2[1:]) - V3F @ V3F.T
+    VT_chol = jnp.linalg.cholesky(VT)
+    return SchurQ(Q1, V1, f, l, w, wx, inv_q3, inv_sqrt_q3, VT_chol)

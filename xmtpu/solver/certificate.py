@@ -191,6 +191,56 @@ def _certify_core(C, sR, lam, primal, use_lanczos: bool = False):
     return lam_min, v, gap, dual, resid
 
 
+@jax.jit
+def _certify_core_matvec(Q_op, sR, lam, primal):
+    """Fully matvec-based certificate for implicit operators (SchurQ): the
+    dual matrix ``Z = C + lam-corr - A^*(y)`` is never materialized; its
+    action is ``C x`` (one operator apply) plus two structured block terms,
+    and the minimum eigenpair comes from Lanczos.
+    """
+    three_n, o = sR.shape
+    n = three_n // 3
+    S = sR.reshape(n, 3, o)
+    x_ii = jnp.sum(S[:, 0, :] ** 2, axis=-1)
+    corr = 2.0 * lam * (x_ii - 1.0)              # added to rows/cols (3i, 3i)
+
+    def zmul0(X):                                 # (3n, k) -> Z X without A*(y)
+        out = Q_op.apply(X)
+        Xb = X.reshape(n, 3, -1)
+        add = jnp.zeros_like(Xb).at[:, 0, :].set(corr[:, None] * Xb[:, 0, :])
+        return out + add.reshape(3 * n, -1)
+
+    B = zmul0(sR).reshape(n, 3, o)
+
+    P0 = _camera0_patterns(sR.dtype)
+    M0 = jnp.einsum("cab,bo->cao", P0, S[0])
+    G0 = jnp.einsum("cao,dao->cd", M0, M0)
+    g0 = jnp.einsum("cao,ao->c", M0, B[0])
+    y0 = _solve_spd_small(G0, g0)
+
+    P = _camera_patterns(sR.dtype)
+    M = jnp.einsum("cab,nbo->ncao", P, S[1:])
+    G = jnp.einsum("ncao,ndao->ncd", M, M)
+    g = jnp.einsum("ncao,nao->nc", M, B[1:])
+    y = _solve_spd_small(G, g)
+
+    D0 = jnp.einsum("c,cab->ab", y0, P0)
+    D = jnp.einsum("nc,cab->nab", y, P)
+    Dall = jnp.concatenate([D0[None], D], axis=0)  # (n, 3, 3)
+
+    def zmul_vec(x):                               # (3n,) -> Z x
+        out = zmul0(x[:, None])[:, 0]
+        xb = x.reshape(n, 3)
+        out = out - jnp.einsum("nab,nb->na", Dall, xb).reshape(3 * n)
+        return out
+
+    lam_min, v, resid = lanczos_min_eig(zmul_vec, 3 * n)
+
+    dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
+    gap = primal - dual - 3.0 * n * jnp.minimum(0.0, lam_min)
+    return lam_min, v, gap, dual, resid
+
+
 def certify(C, sR, lam, primal, verbose: bool = False,
             method: str = "auto") -> CertificateResult:
     """Check global optimality of the rank-o point ``sR``.
@@ -204,18 +254,21 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         ``LANCZOS_AUTO_DIM`` rows, Lanczos above).
     """
     Q = as_qop(C)
-    Cmat = Q.C if hasattr(Q, "C") else jnp.asarray(C)
     sR = jnp.asarray(sR, jnp.float64)
     n = sR.shape[0] // 3
     lam = jnp.asarray(lam, jnp.float64)
     primal = jnp.asarray(primal, jnp.float64)
 
-    if method == "auto":
-        use_lanczos = sR.shape[0] > LANCZOS_AUTO_DIM
+    if hasattr(Q, "C"):
+        if method == "auto":
+            use_lanczos = sR.shape[0] > LANCZOS_AUTO_DIM
+        else:
+            use_lanczos = method == "lanczos"
+        lam_min, v, gap, dual, resid = _certify_core(Q.C, sR, lam, primal,
+                                                     use_lanczos=use_lanczos)
     else:
-        use_lanczos = method == "lanczos"
-    lam_min, v, gap, dual, resid = _certify_core(Cmat, sR, lam, primal,
-                                                 use_lanczos=use_lanczos)
+        # implicit operator: matvec-only certificate
+        lam_min, v, gap, dual, resid = _certify_core_matvec(Q, sR, lam, primal)
     bound = _min_eig_bound(n)
     # the Lanczos Ritz value only bounds lam_min from above; subtract its
     # residual so an unresolved negative eigenvalue can't slip through the

@@ -56,14 +56,16 @@ class SolveResult(NamedTuple):
     total_inner: int
 
 
-def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose):
+def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
+           precision: str = "f64"):
     cfg = tr.TRConfig(max_time=max_time)
+    solver = (tr.trust_region_solve_mixed if precision == "mixed"
+              else tr.trust_region_solve)
     if escape_dir is None:
-        res = tr.trust_region_solve(C, R0, s_ex0, lam, gradtol, cfg=cfg)
+        res = solver(C, R0, s_ex0, lam, gradtol, cfg=cfg)
     else:
-        res = tr.trust_region_solve(C, R0, s_ex0, lam, gradtol,
-                                    escape_dir=escape_dir, linesearch_step=1.0,
-                                    cfg=cfg)
+        res = solver(C, R0, s_ex0, lam, gradtol,
+                     escape_dir=escape_dir, linesearch_step=1.0, cfg=cfg)
     if verbose:
         o = R0.shape[2]
         print(f"[xm] rank {o}: primal={float(res.primal):.6e} "
@@ -74,17 +76,25 @@ def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose):
 
 def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  max_time: float = 1000.0, s0_ex: Optional[np.ndarray] = None,
-                 rank3_only: bool = False, verbose: bool = True) -> SolveResult:
+                 rank3_only: bool = False, verbose: bool = True,
+                 precision: str = "f64") -> SolveResult:
     """In-memory staircase solve (the reference's file-based ``solve`` without
     the disk round trip; XM_main.cu:180-310).
 
     Args:
-      C: (3n, 3n) cost matrix.
+      C: (3n, 3n) cost matrix or QOperator (e.g. SchurQ).
       s0_ex: optional (n,) initial extended scales (solve_rebuttle semantics).
       rank3_only: single rank-3 TR solve, no certificate (solve_rank3).
+      precision: "f64" (reference parity) or "mixed" (f32 bulk + f64 polish —
+        the TPU fast path; certificates always run in f64).
     """
-    C = jnp.asarray(C, jnp.float64)
-    n = C.shape[0] // 3
+    from xmtpu.ops.qop import QOperator
+
+    if not isinstance(C, QOperator):
+        C = jnp.asarray(C, jnp.float64)
+        n = C.shape[0] // 3
+    else:
+        n = C.dim // 3
     gradtol = float(tol)
 
     o = 3
@@ -102,7 +112,8 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     outer = inner = 0
 
     while o <= max_rank:
-        res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir, verbose)
+        res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir, verbose,
+                     precision)
         outer += int(res.outer_iters)
         inner += int(res.total_inner)
 

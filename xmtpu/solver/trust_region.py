@@ -76,10 +76,22 @@ class TRConfig:
     max_outer: int = 1000
     max_inner: int = 1000
     max_time: float = float("inf")   # seconds, enforced between chunks
-    chunk: int = 50                  # outer iterations per jitted chunk
+    chunk: int = 100                 # outer iterations per device program
     rdotr_min: float = 1e-15
     delta_min: float = 1e-20
     linesearch_alpha_min: float = 1e-20
+
+    @staticmethod
+    def for_dtype(dtype, **kwargs) -> "TRConfig":
+        """Reference guards assume f64 (rdotr < 1e-15, trustregion.h:572);
+        scale them to the working precision."""
+        import jax.numpy as _jnp
+
+        if dtype == _jnp.float32:
+            kwargs.setdefault("rdotr_min", 1e-7)
+            kwargs.setdefault("delta_min", 1e-18)
+            kwargs.setdefault("linesearch_alpha_min", 1e-18)
+        return TRConfig(**kwargs)
 
 
 class TRState(NamedTuple):
@@ -134,7 +146,7 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
         endreason: jax.Array
         done: jax.Array
 
-    zero = jnp.zeros(())
+    zero = jnp.zeros((), rdotr0.dtype)
     init = Carry(
         i=jnp.zeros((), jnp.int32),
         vR=jnp.zeros_like(pgR), vs=jnp.zeros_like(pgs),
@@ -302,7 +314,7 @@ def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
         endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
         k=jnp.zeros((), jnp.int32),
         total_inner=jnp.zeros((), jnp.int32),
-        gradnorm=jnp.asarray(jnp.inf, jnp.float64),
+        gradnorm=jnp.asarray(jnp.inf, R0.dtype),
         done=jnp.asarray(False),
         done_reason=jnp.asarray(RUNNING, jnp.int32),
     )
@@ -350,7 +362,7 @@ def _escape_linesearch(Q, R, s_ex, v_scaled, step0, lam, cfg: TRConfig):
 
 def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                        escape_dir=None, linesearch_step=0.0,
-                       cfg: TRConfig = TRConfig()) -> TRResult:
+                       cfg: TRConfig = TRConfig(), dtype=None) -> TRResult:
     """Solve ``min <sR, Q sR> + lam sum((s^2-1)^2)`` over the product manifold.
 
     Drop-in semantic equivalent of ``XMtrustregion`` (trustregion.h:77).
@@ -363,20 +375,28 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
         s per camera** (the staircase does this, mirroring
         DecentDirectionKernal).
       linesearch_step: initial step for the escape linesearch; 0 disables.
+      dtype: solver precision.  Default f64 (reference parity; software-
+        emulated on TPU).  ``jnp.float32`` runs the whole iteration — state,
+        GEMMs, reductions — in hardware f32; pair it with an f32 ``Q`` and a
+        loosened ``cfg.rdotr_min`` (~1e-7; see ``TRConfig.for_dtype``).
     """
-    R0 = jnp.asarray(R0, jnp.float64)
-    s_ex0 = jnp.asarray(s_ex0, jnp.float64)
+    if dtype is None:
+        dtype = jnp.asarray(R0).dtype
+        if dtype not in (jnp.float32, jnp.float64):
+            dtype = jnp.float64
+    R0 = jnp.asarray(R0, dtype)
+    s_ex0 = jnp.asarray(s_ex0, dtype)
     n, _, o = R0.shape
     dim = n * (3 * o - 6) + n - 1
     delta_bar = np.sqrt(float(dim))
-    lam = jnp.asarray(lam, jnp.float64)
-    gradtol = jnp.asarray(gradtol, jnp.float64)
-    delta_bar_j = jnp.asarray(delta_bar, jnp.float64)
+    lam = jnp.asarray(lam, dtype)
+    gradtol = jnp.asarray(gradtol, dtype)
+    delta_bar_j = jnp.asarray(delta_bar, dtype)
 
     R_cur, s_cur = R0, s_ex0
     if linesearch_step != 0.0 and escape_dir is not None:
         R_cur, f_ls, ok = _escape_linesearch(
-            Q, R0, s_ex0, jnp.asarray(escape_dir, jnp.float64),
+            Q, R0, s_ex0, jnp.asarray(escape_dir, dtype),
             float(linesearch_step), lam, cfg)
         if not bool(ok):
             return TRResult(R0, s_ex0, jnp.asarray(-1.0), jnp.asarray(jnp.inf),
@@ -385,21 +405,21 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
 
     st = _init_state(Q, R_cur, s_cur, lam, delta_bar_j, cfg)
 
+    # always run in bounded chunks: a single device program spanning the whole
+    # solve can run for minutes at scale and remote TPU runtimes kill
+    # long-running programs (observed as 'TPU worker crashed' at n~2000 f64)
     deadline = time.monotonic() + cfg.max_time
     timed_out = False
-    if cfg.max_time == float("inf"):
-        st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, cfg.max_outer)
-    else:
-        k_done = 0
-        while k_done < cfg.max_outer:
-            kmax = min(k_done + cfg.chunk, cfg.max_outer)
-            st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax)
-            k_done = int(st.k)
-            if bool(st.done):
-                break
-            if time.monotonic() > deadline:
-                timed_out = True
-                break
+    k_done = 0
+    while k_done < cfg.max_outer:
+        kmax = min(k_done + cfg.chunk, cfg.max_outer)
+        st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax)
+        k_done = int(st.k)
+        if bool(st.done):
+            break
+        if time.monotonic() > deadline:
+            timed_out = True
+            break
 
     done_reason = st.done_reason
     if timed_out:
@@ -409,3 +429,51 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
 
     return TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
                     st.total_inner, done_reason)
+
+
+def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
+                             escape_dir=None, linesearch_step=0.0,
+                             cfg: TRConfig = TRConfig()) -> TRResult:
+    """Two-phase precision ladder: f32 bulk, f64 polish.
+
+    TPU f64 matmul is software-emulated (~40x slower than f32 on v5e), while
+    pure f32 cannot resolve the bottom of the Schur-complement quadratic
+    (the optimum lives ~1e-10 relative to ||C|| — catastrophic cancellation in
+    ``<sR, C sR>``).  The ladder runs the trust region in hardware f32 until
+    its natural stall (delta collapse / f32 residual floor), then restarts in
+    f64 from that iterate: the expensive far-from-optimum phase costs f32
+    GEMMs, the f64 phase starts warm.
+
+    Semantics note: the f32 phase is an accelerator, not a semantic change —
+    the final f64 phase enforces exactly the reference's tolerances.
+    """
+    from xmtpu.ops.qop import cast_qop
+
+    # escape linesearch (if any) runs in f64 — it's a handful of objectives
+    R0 = jnp.asarray(R0, jnp.float64)
+    s_ex0 = jnp.asarray(s_ex0, jnp.float64)
+    if linesearch_step != 0.0 and escape_dir is not None:
+        res_ls = trust_region_solve(Q, R0, s_ex0, lam, gradtol,
+                                    escape_dir=escape_dir,
+                                    linesearch_step=linesearch_step,
+                                    cfg=TRConfig(max_outer=0, chunk=1))
+        if int(res_ls.done_reason) == DONE_LINESEARCH_FAIL:
+            return res_ls
+        R0, s_ex0 = res_ls.R, res_ls.s_ex
+
+    cfg32 = TRConfig.for_dtype(
+        jnp.float32, max_outer=cfg.max_outer, max_inner=cfg.max_inner,
+        max_time=cfg.max_time, chunk=cfg.chunk)
+    Q32 = cast_qop(Q, jnp.float32)
+    res32 = trust_region_solve(Q32, R0.astype(jnp.float32),
+                               s_ex0.astype(jnp.float32), lam,
+                               gradtol, cfg=cfg32, dtype=jnp.float32)
+
+    # f64 polish from the f32 iterate (re-orthonormalize in f64 first)
+    R1 = mf.mgs_rows(res32.R.astype(jnp.float64))
+    s1 = res32.s_ex.astype(jnp.float64).at[0].set(1.0)
+    res64 = trust_region_solve(Q, R1, s1, lam, gradtol, cfg=cfg)
+    return TRResult(res64.R, res64.s_ex, res64.primal, res64.gradnorm,
+                    res32.outer_iters + res64.outer_iters,
+                    res32.total_inner + res64.total_inner,
+                    res64.done_reason)

@@ -77,7 +77,9 @@ def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
 def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  max_time: float = 1000.0, s0_ex: Optional[np.ndarray] = None,
                  rank3_only: bool = False, verbose: bool = True,
-                 precision: str = "f64") -> SolveResult:
+                 precision: str = "f64",
+                 checkpoint_path: Optional[str] = None,
+                 resume_from: Optional[str] = None) -> SolveResult:
     """In-memory staircase solve (the reference's file-based ``solve`` without
     the disk round trip; XM_main.cu:180-310).
 
@@ -87,8 +89,13 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
       rank3_only: single rank-3 TR solve, no certificate (solve_rank3).
       precision: "f64" (reference parity) or "mixed" (f32 bulk + f64 polish —
         the TPU fast path; certificates always run in f64).
+      checkpoint_path: save the staircase position after every rank stage.
+      resume_from: restore a saved staircase position (fine-grained analog of
+        the reference's solve_rebuttle warm start).
     """
     from xmtpu.ops.qop import QOperator
+    from xmtpu.solver.checkpoint import (StaircaseCheckpoint, load_checkpoint,
+                                         save_checkpoint)
 
     if not isinstance(C, QOperator):
         C = jnp.asarray(C, jnp.float64)
@@ -102,6 +109,15 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     s_ex = (jnp.asarray(s0_ex, jnp.float64) if s0_ex is not None
             else jnp.ones((n,), jnp.float64))
     escape_dir = None
+
+    if resume_from is not None:
+        ck = load_checkpoint(resume_from)
+        o = ck.rank
+        R0 = jnp.asarray(ck.R)
+        s_ex = jnp.asarray(ck.s_ex)
+        gradtol = ck.gradtol
+        escape_dir = (jnp.asarray(ck.escape_dir)
+                      if ck.escape_dir is not None else None)
 
     R_cur, s_cur = R0, s_ex
     primal = float("nan")
@@ -145,6 +161,11 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             escape_dir = np.asarray(cert.v).reshape(n, 3) / np.asarray(s_cur)[:, None]
             escape_dir = jnp.asarray(escape_dir.reshape(3 * n))
             o += 1
+            if checkpoint_path is not None:
+                save_checkpoint(checkpoint_path, StaircaseCheckpoint(
+                    R=np.asarray(R0), s_ex=np.asarray(s_ex), rank=o,
+                    gradtol=gradtol, escape_dir=np.asarray(escape_dir),
+                    lam=float(lam)))
         else:
             status = STATUS_MAX_RANK
             break

@@ -1,0 +1,115 @@
+"""Command-line interface.
+
+The reference's "CLI" is its numbered example scripts plus the GLOMAP binary
+(SURVEY.md section 1, L6).  xmtpu exposes the solver-side operations directly:
+
+    python -m xmtpu solve PATH [--max-rank 10] [--tol 1e-6] [--lam 0]
+                               [--max-time 1000] [--precision f64|mixed]
+    python -m xmtpu solve-rank3 PATH ...
+    python -m xmtpu recover PATH [--lam 0]
+    python -m xmtpu certify PATH
+    python -m xmtpu info PATH            # .bin file header info
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_solver_args(p):
+    p.add_argument("path", help="dataset directory containing Q.bin")
+    p.add_argument("--max-rank", type=int, default=10)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--lam", type=float, default=0.0)
+    p.add_argument("--max-time", type=float, default=1000.0)
+    p.add_argument("--precision", choices=["f64", "mixed"], default="f64")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="xmtpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    _add_solver_args(sub.add_parser("solve", help="certified staircase solve"))
+    _add_solver_args(sub.add_parser("solve-rank3", help="rank-3 solve only"))
+
+    p = sub.add_parser("recover", help="recover poses/points from R.bin/s.bin")
+    p.add_argument("path")
+    p.add_argument("--lam", type=float, default=0.0)
+    p.add_argument("--ply", help="export PLY files with this prefix")
+
+    p = sub.add_parser("certify", help="re-certify a solved factor")
+    p.add_argument("path")
+    p.add_argument("--lam", type=float, default=0.0)
+
+    p = sub.add_parser("info", help="print .bin header")
+    p.add_argument("file")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "info":
+        import numpy as np
+        with open(args.file, "rb") as f:
+            rows, cols = np.fromfile(f, dtype=np.int32, count=2)
+        print(f"{args.file}: {rows} x {cols} float64 "
+              f"({rows * cols * 8 / 1e6:.1f} MB payload)")
+        return 0
+
+    import os
+
+    import xmtpu
+
+    if args.cmd in ("solve", "solve-rank3"):
+        from xmtpu.solver.staircase import solve, solve_rank3
+        fn = solve if args.cmd == "solve" else solve_rank3
+        res = fn(args.path, args.max_rank, args.tol, args.lam, args.max_time)
+        print(f"status={res.status} certified={res.certified} rank={res.rank} "
+              f"primal={res.primal:.10e} gap={res.gap:.3e}")
+        return 0 if res.status >= 0 else 1
+
+    if args.cmd == "recover":
+        from xmtpu.pipeline.recover import recover_XM
+        Q, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "Q.bin"))
+        R, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "R.bin"))
+        s, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "s.bin"))
+        Abar, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "Abar.bin"))
+        R_real, s_real, p_est, t_est = recover_XM(Q, R, s, Abar, args.lam)
+        print(f"recovered {s_real.shape[0]} cameras, {p_est.shape[1]} points")
+        if args.ply:
+            import numpy as np
+
+            from xmtpu.pipeline.visualization import export_ply
+            N = s_real.shape[0]
+            exts = []
+            for i in range(N):
+                Rb = R_real[:, 3 * i:3 * i + 3]
+                ext = np.eye(4)
+                ext[:3, :3] = Rb.T
+                ext[:3, 3] = -Rb.T @ t_est[:, i]
+                exts.append(ext)
+            export_ply(args.ply, exts, points=p_est.T)
+            print(f"wrote {args.ply}_cameras.ply / _points.ply")
+        return 0
+
+    if args.cmd == "certify":
+        import jax.numpy as jnp
+
+        from xmtpu.ops import manifold as mf
+        from xmtpu.solver.certificate import certify
+        Q, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "Q.bin"))
+        R, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "R.bin"))
+        s, _ = xmtpu.load_matrix_from_bin(os.path.join(args.path, "s.bin"))
+        n = s.shape[0]
+        Rb = jnp.asarray(R).reshape(n, 3, R.shape[1])
+        sR = mf.flatten(mf.scale_blocks(Rb, jnp.asarray(s).ravel()))
+        import jax.numpy as jnp2
+        qm = jnp.asarray(Q)
+        primal = float(jnp.vdot(sR, qm @ sR))
+        cert = certify(qm, sR, args.lam, primal, verbose=True)
+        return 0 if bool(cert.certified) else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,6 +30,7 @@ import os
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +42,8 @@ from xmtpu.solver.certificate import certify
 STATUS_CERTIFIED = 1
 STATUS_MAX_RANK = 2
 STATUS_LINESEARCH_FAIL = -2
+
+_scaled_factor = jax.jit(lambda R, s_ex: mf.flatten(mf.scale_blocks(R, s_ex)))
 
 
 class SolveResult(NamedTuple):
@@ -145,7 +148,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             status = STATUS_MAX_RANK
             break
 
-        sR = mf.flatten(mf.scale_blocks(R_cur, s_cur))
+        sR = _scaled_factor(R_cur, s_cur)
         cert = certify(C, sR, lam, res.primal, verbose=verbose)
         gap, lam_min = float(cert.gap), float(cert.lam_min)
 

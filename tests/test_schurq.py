@@ -61,3 +61,22 @@ def test_staircase_on_schurq(problem):
     assert res_s.certified == res_d.certified
     np.testing.assert_allclose(res_s.primal, res_d.primal, rtol=1e-6,
                                atol=1e-10)
+
+
+def test_checkpoint_roundtrip(tmp_path, problem):
+    from xmtpu.solver.checkpoint import (StaircaseCheckpoint, load_checkpoint,
+                                         save_checkpoint)
+
+    scene, C, Abar, Q = problem
+    n = Q.n_cameras
+    ck = StaircaseCheckpoint(
+        R=np.zeros((n, 3, 4)), s_ex=np.ones(n), rank=4, gradtol=1e-7,
+        escape_dir=np.arange(3 * n, dtype=float), lam=0.5)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, ck)
+    out = load_checkpoint(p)
+    assert out.rank == 4 and out.gradtol == 1e-7 and out.lam == 0.5
+    np.testing.assert_array_equal(out.escape_dir, ck.escape_dir)
+    ck2 = ck._replace(escape_dir=None)
+    save_checkpoint(p, ck2)
+    assert load_checkpoint(p).escape_dir is None

@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: sorted segment-sum via sequential-grid accumulation.
+
+The scalable SchurQ operator reduces edge arrays into per-frame / per-landmark
+sums (``jax.ops.segment_sum``).  XLA lowers scatter-adds poorly on TPU even
+with sorted indices; this kernel exploits two structural facts instead:
+
+* edges are **pre-sorted by segment** (SchurQ stores both orderings), so each
+  fixed-size row chunk touches a bounded, contiguous band of output segments;
+* the TPU Pallas grid executes **sequentially**, so chunks can accumulate
+  into the output ref without atomics.
+
+Per grid step the kernel builds a local one-hot band matrix from the chunk's
+segment ids and contracts it with the chunk's values — the segment reduction
+becomes an MXU matmul for f32 and a VPU masked reduction for f64 (f64 MXU is
+software-emulated; the masked form stays exact).
+
+Interface: :func:`sorted_segment_sum(vals, seg_ids, num_segments, band)` with
+``band`` = max distinct segments any chunk can span (validated by
+:func:`max_band`).  Falls back to ``jax.ops.segment_sum`` on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+CHUNK = 512
+
+
+def max_band(seg_ids: np.ndarray, chunk: int = CHUNK) -> int:
+    """Largest number of distinct segments spanned by any length-``chunk``
+    window of the sorted ``seg_ids`` — the safe ``band`` for the kernel."""
+    seg_ids = np.asarray(seg_ids)
+    E = len(seg_ids)
+    best = 1
+    for start in range(0, E, chunk):
+        w = seg_ids[start:start + chunk]
+        best = max(best, int(w[-1] - w[0]) + 1)
+    return best
+
+
+def _kernel(ids_ref, vals_ref, out_ref, *, band, use_mxu):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[:, 0]                      # (chunk,)
+    first = ids[0]
+    local = ids - first                      # in [0, band)
+    chunk = ids.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
+              == local[None, :])
+    vals = vals_ref[:, :]
+    if use_mxu:
+        partial = jnp.dot(onehot.astype(vals.dtype), vals,
+                          preferred_element_type=vals.dtype)
+    else:
+        # exact masked reduction (f64: avoid emulated MXU)
+        partial = jnp.sum(
+            jnp.where(onehot[:, :, None], vals[None, :, :], 0.0), axis=1)
+    cur = out_ref[pl.ds(first, band), :]
+    out_ref[pl.ds(first, band), :] = cur + partial
+
+
+def sorted_segment_sum(vals: jax.Array, seg_ids: jax.Array, num_segments: int,
+                       band: int, chunk: int = CHUNK,
+                       interpret: bool = False) -> jax.Array:
+    """Segment sum over **sorted** ``seg_ids``.
+
+    Args:
+      vals: (E, D) values, rows sorted by segment id.
+      seg_ids: (E,) int32 sorted segment ids.
+      num_segments: S.
+      band: static bound on distinct segments per chunk (see
+        :func:`max_band`); the kernel is incorrect if exceeded.
+    """
+    E, D = vals.shape
+    pad = (-E) % chunk
+    if pad:
+        # padding rows keep the last segment id with zero values
+        vals = jnp.concatenate([vals, jnp.zeros((pad, D), vals.dtype)])
+        seg_ids = jnp.concatenate(
+            [seg_ids, jnp.broadcast_to(seg_ids[-1], (pad,))])
+        E = E + pad
+
+    use_mxu = vals.dtype == jnp.float32
+    out_rows = num_segments + band  # slack so the band store never clips
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, band=band, use_mxu=use_mxu),
+        grid=(E // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, D), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((out_rows, D), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((out_rows, D), vals.dtype),
+        interpret=interpret,
+    )(seg_ids[:, None].astype(jnp.int32), vals)
+    return out[:num_segments]

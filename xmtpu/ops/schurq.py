@@ -19,9 +19,13 @@ creatematrix.py:156-170):
     x_A = VT^-1 (b_A + V3F (q3^-1/2 o b_B))
     x_B = q3^-1 o b_B + q3^-1/2 o (V3F^T x_A)
 
-Cost per matvec: O(E o) edge gathers / scatter-adds (``segment_sum``) +
-O(N^2 o) for the VT solve — linear in observations for the landmark part and
-independent of M for memory: O(E + N^2) instead of O(9 N^2) + O(N M).
+Cost per matvec: O(E o) edge gathers / segment sums + O(N^2 o) for the VT
+solve — linear in observations for the landmark part and independent of M
+for memory: O(E + N^2) instead of O(9 N^2) + O(N M).
+
+Edge reductions are kept in **two sorted orderings** (by landmark and by
+frame) so every ``segment_sum`` runs with ``indices_are_sorted=True`` —
+sorted scatter-adds lower to efficient TPU code, unsorted ones do not.
 
 The same factorization recovers translations/landmarks
 (``recover_y(sR) = -Mbar^{-1} Vtp_bar^T sR``), replacing the dense
@@ -45,34 +49,48 @@ from jax.tree_util import register_pytree_node_class
 from xmtpu.ops.qop import QOperator
 
 
+def _seg_sum(vals, ids, num, sorted_ids=True):
+    return jax.ops.segment_sum(vals, ids, num, indices_are_sorted=sorted_ids)
+
+
 @register_pytree_node_class
 @dataclass
 class SchurQ(QOperator):
     """Factored SBA cost operator.
 
+    Edge arrays exist in two orderings: ``*_l`` sorted by landmark id (for
+    landmark-segment reductions), ``*_f`` sorted by frame id (for
+    frame-segment reductions).
+
     Fields (n cameras, m landmarks, e observations; ids 0-based):
       Q1: (n, 3, 3) per-camera weighted landmark Grams
       V1: (n, 3) per-camera weighted landmark sums
-      f, l: (e,) observation frame / landmark ids
-      w: (e,) observation weights
-      wx: (e, 3) weighted lifted observations ``w_e x_e``
+      f_l, l_l, wx_l, cf_l: (e,), (e,), (e, 3), (e,)  — landmark-sorted
+      f_f, l_f, wx_f, cf_f: frame-sorted copies
+      (cf_* are the V3F coefficients ``w_e / sqrt(q3_l)`` with frame-0 rows
+      zeroed)
       inv_q3, inv_sqrt_q3: (m,) inverse (sqrt) landmark weight sums
       VT_chol: (n-1, n-1) lower Cholesky factor of the camera Schur complement
     """
 
     Q1: jax.Array
     V1: jax.Array
-    f: jax.Array
-    l: jax.Array
-    w: jax.Array
-    wx: jax.Array
+    f_l: jax.Array
+    l_l: jax.Array
+    wx_l: jax.Array
+    cf_l: jax.Array
+    f_f: jax.Array
+    l_f: jax.Array
+    wx_f: jax.Array
+    cf_f: jax.Array
     inv_q3: jax.Array
     inv_sqrt_q3: jax.Array
     VT_chol: jax.Array
 
     def tree_flatten(self):
-        return ((self.Q1, self.V1, self.f, self.l, self.w, self.wx,
-                 self.inv_q3, self.inv_sqrt_q3, self.VT_chol), None)
+        return ((self.Q1, self.V1, self.f_l, self.l_l, self.wx_l, self.cf_l,
+                 self.f_f, self.l_f, self.wx_f, self.cf_f, self.inv_q3,
+                 self.inv_sqrt_q3, self.VT_chol), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -82,12 +100,22 @@ class SchurQ(QOperator):
     def build(weights, edges, landmarks) -> "SchurQ":
         """From the same inputs as ``create_matrix`` (1-based edges)."""
         edges = np.asarray(edges)
-        f = jnp.asarray(edges[:, 0] - 1, jnp.int32)
-        l = jnp.asarray(edges[:, 1] - 1, jnp.int32)
-        N = int(edges[:, 0].max())
-        M = int(edges[:, 1].max())
-        return _build_schurq(jnp.asarray(weights, jnp.float64).ravel(), f, l,
-                             jnp.asarray(landmarks, jnp.float64), N, M)
+        w = np.asarray(weights, np.float64).ravel()
+        x = np.asarray(landmarks, np.float64)
+        f = edges[:, 0].astype(np.int64) - 1
+        l = edges[:, 1].astype(np.int64) - 1
+        N = int(f.max()) + 1
+        M = int(l.max()) + 1
+        # host-side orderings (static data)
+        ord_l = np.lexsort((f, l))
+        ord_f = np.lexsort((l, f))
+        return _build_schurq(
+            jnp.asarray(w), jnp.asarray(x),
+            jnp.asarray(f[ord_l], jnp.int32), jnp.asarray(l[ord_l], jnp.int32),
+            jnp.asarray(ord_l, jnp.int32),
+            jnp.asarray(f[ord_f], jnp.int32), jnp.asarray(l[ord_f], jnp.int32),
+            jnp.asarray(ord_f, jnp.int32),
+            N, M)
 
     @property
     def n_cameras(self) -> int:
@@ -106,34 +134,28 @@ class SchurQ(QOperator):
     def _vtpT(self, Yb):
         """``Vtp_bar^T Y``: (n,3,o) -> (b_A (n-1,o), b_B (m,o))."""
         b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
-        gathered = jnp.einsum("ea,eao->eo", self.wx, Yb[self.f])
-        b_B = -jax.ops.segment_sum(gathered, self.l, self.n_landmarks)
+        gathered = jnp.einsum("ea,eao->eo", self.wx_l, Yb[self.f_l])
+        b_B = -_seg_sum(gathered, self.l_l, self.n_landmarks)
         return b_A, b_B
 
     def _vtp(self, z_A, z_B):
         """``Vtp_bar [z_A; z_B]`` -> (n, 3, o)."""
         z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
         out = jnp.einsum("na,no->nao", self.V1, z_t)
-        contrib = jnp.einsum("ea,eo->eao", self.wx, z_B[self.l])
-        return out - jax.ops.segment_sum(contrib, self.f, self.n_cameras)
-
-    def _v3f_coef(self):
-        # V3F entries: w_e / sqrt(q3_l); frame-0 rows are excluded from V3_bar
-        return self.w * self.inv_sqrt_q3[self.l] * (self.f > 0)
+        contrib = jnp.einsum("ea,eo->eao", self.wx_f, z_B[self.l_f])
+        return out - _seg_sum(contrib, self.f_f, self.n_cameras)
 
     def _v3f(self, z_B):
         """``V3F z_B``: (m, o) -> (n-1, o)."""
-        coef = self._v3f_coef()
-        out = jax.ops.segment_sum(coef[:, None] * z_B[self.l], self.f,
-                                  self.n_cameras)
+        out = _seg_sum(self.cf_f[:, None] * z_B[self.l_f], self.f_f,
+                       self.n_cameras)
         return out[1:]
 
     def _v3fT(self, x_A):
         """``V3F^T x_A``: (n-1, o) -> (m, o)."""
-        coef = self._v3f_coef()
         x_pad = jnp.concatenate([jnp.zeros_like(x_A[:1]), x_A], axis=0)
-        return jax.ops.segment_sum(coef[:, None] * x_pad[self.f], self.l,
-                                   self.n_landmarks)
+        return _seg_sum(self.cf_l[:, None] * x_pad[self.f_l], self.l_l,
+                        self.n_landmarks)
 
     def solve_M(self, b_A, b_B):
         """Exact solve of ``Mbar [x_A; x_B] = [b_A; b_B]``."""
@@ -166,17 +188,19 @@ class SchurQ(QOperator):
 
 
 @partial(jax.jit, static_argnames=("N", "M"))
-def _build_schurq(w, f, l, x, N: int, M: int) -> SchurQ:
-    q2 = jax.ops.segment_sum(w, f, N)
-    q3 = jax.ops.segment_sum(w, l, M)
+def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, N: int, M: int) -> SchurQ:
     wx = w[:, None] * x
-    Q1 = jax.ops.segment_sum(wx[:, :, None] * x[:, None, :], f, N)
-    V1 = jax.ops.segment_sum(wx, f, N)
+    q2 = _seg_sum(w[ord_f], f_f, N)
+    q3 = _seg_sum(w[ord_l], l_l, M)
+    Q1 = _seg_sum((wx[:, :, None] * x[:, None, :])[ord_f], f_f, N)
+    V1 = _seg_sum(wx[ord_f], f_f, N)
     inv_q3 = 1.0 / q3
     inv_sqrt_q3 = 1.0 / jnp.sqrt(q3)
 
-    coef = w * inv_sqrt_q3[l] * (f > 0)
-    V3F = jnp.zeros((N, M), w.dtype).at[f, l].add(coef)[1:]
+    cf_l = w[ord_l] * inv_sqrt_q3[l_l] * (f_l > 0)
+    cf_f = w[ord_f] * inv_sqrt_q3[l_f] * (f_f > 0)
+    V3F = jnp.zeros((N, M), w.dtype).at[f_f, l_f].add(cf_f)[1:]
     VT = jnp.diag(q2[1:]) - V3F @ V3F.T
     VT_chol = jnp.linalg.cholesky(VT)
-    return SchurQ(Q1, V1, f, l, w, wx, inv_q3, inv_sqrt_q3, VT_chol)
+    return SchurQ(Q1, V1, f_l, l_l, wx[ord_l], cf_l,
+                  f_f, l_f, wx[ord_f], cf_f, inv_q3, inv_sqrt_q3, VT_chol)

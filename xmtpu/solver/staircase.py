@@ -44,6 +44,7 @@ STATUS_MAX_RANK = 2
 STATUS_LINESEARCH_FAIL = -2
 
 _scaled_factor = jax.jit(lambda R, s_ex: mf.flatten(mf.scale_blocks(R, s_ex)))
+_flat_factor = jax.jit(mf.flatten)
 
 
 class SolveResult(NamedTuple):
@@ -133,15 +134,20 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     while o <= max_rank:
         res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir, verbose,
                      precision)
-        outer += int(res.outer_iters)
-        inner += int(res.total_inner)
+        # one batched scalar fetch per stage
+        primal_v, reason_v, outer_v, inner_v = (
+            np.asarray(x) for x in jax.device_get(
+                (res.primal, res.done_reason, res.outer_iters,
+                 res.total_inner)))
+        outer += int(outer_v)
+        inner += int(inner_v)
 
-        if float(res.primal) < 0 and int(res.done_reason) == tr.DONE_LINESEARCH_FAIL:
+        if float(primal_v) < 0 and int(reason_v) == tr.DONE_LINESEARCH_FAIL:
             status = STATUS_LINESEARCH_FAIL
             break
 
-        R_cur, s_cur, primal = res.R, res.s_ex, float(res.primal)
-        if int(res.done_reason) == tr.DONE_GRADTOL:
+        R_cur, s_cur, primal = res.R, res.s_ex, float(primal_v)
+        if int(reason_v) == tr.DONE_GRADTOL:
             gradtol /= 10.0  # trustregion.h:534 (pass-by-reference tol)
 
         if rank3_only:
@@ -150,9 +156,11 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
 
         sR = _scaled_factor(R_cur, s_cur)
         cert = certify(C, sR, lam, res.primal, verbose=verbose)
-        gap, lam_min = float(cert.gap), float(cert.lam_min)
+        certified_v, gap_v, lam_min_v = jax.device_get(
+            (cert.certified, cert.gap, cert.lam_min))
+        gap, lam_min = float(gap_v), float(lam_min_v)
 
-        if bool(cert.certified):
+        if bool(certified_v):
             status = STATUS_CERTIFIED
             certified = True
             break
@@ -173,9 +181,10 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             status = STATUS_MAX_RANK
             break
 
+    R_flat, s_host = jax.device_get((_flat_factor(R_cur), s_cur))
     return SolveResult(
-        R=np.asarray(mf.flatten(R_cur)),
-        s_ex=np.asarray(s_cur),
+        R=np.asarray(R_flat),
+        s_ex=np.asarray(s_host),
         primal=primal,
         rank=R_cur.shape[2],
         status=status,

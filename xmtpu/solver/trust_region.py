@@ -414,8 +414,10 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
     while k_done < cfg.max_outer:
         kmax = min(k_done + cfg.chunk, cfg.max_outer)
         st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax)
-        k_done = int(st.k)
-        if bool(st.done):
+        # one batched host fetch per chunk (scalar fetches cost ~20ms each on
+        # remote-dispatch platforms)
+        k_done, done = jax.device_get((st.k, st.done))
+        if bool(done):
             break
         if time.monotonic() > deadline:
             timed_out = True

@@ -1,0 +1,58 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmtpu.assembly.creatematrix import create_matrix_arrays
+from xmtpu.ops import manifold as mf
+from xmtpu.parallel.mesh import make_mesh, shard_problem, solve_sharded
+from xmtpu.pipeline.synthetic import make_scene
+from xmtpu.solver import trust_region as tr
+
+
+@pytest.fixture(scope="module")
+def problem():
+    # n divisible by 8 so camera blocks shard evenly
+    scene = make_scene(n_cameras=16, n_points=60, obs_per_camera=30,
+                       noise=1e-4, seed=91)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    return scene, C
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_solve_matches_single_device(problem):
+    scene, C = problem
+    n = C.shape[0] // 3
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,))
+
+    res_single = tr.trust_region_solve(jnp.asarray(C), R0, s0, lam=0.0,
+                                       gradtol=1e-8)
+
+    mesh = make_mesh(8)
+    res_shard = solve_sharded(mesh, C, R0, s0, lam=0.0, gradtol=1e-8)
+
+    np.testing.assert_allclose(float(res_shard.primal),
+                               float(res_single.primal), rtol=1e-9,
+                               atol=1e-12)
+    # same iterate up to numerical noise (deterministic algorithm)
+    np.testing.assert_allclose(np.asarray(res_shard.s_ex),
+                               np.asarray(res_single.s_ex), rtol=1e-6)
+
+
+def test_sharding_layout(problem):
+    scene, C = problem
+    n = C.shape[0] // 3
+    mesh = make_mesh(8)
+    Cs, Rs, ss = shard_problem(mesh, jnp.asarray(C), mf.identity_frames(n, 3),
+                               jnp.ones((n,)))
+    # C rows sharded over the mesh, columns replicated
+    assert Cs.sharding.spec == jax.sharding.PartitionSpec("cam", None)
+    assert not Cs.is_fully_replicated
+    assert Rs.sharding.spec[0] == "cam"

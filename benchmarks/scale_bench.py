@@ -1,0 +1,59 @@
+"""Scale benchmark: synthetic BAL-1934-class problem, dense vs SchurQ,
+precision ladder.  Not run by the driver (bench.py is the one-line headline);
+use interactively:
+
+    python benchmarks/scale_bench.py [n_cameras] [tol]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_cam = int(sys.argv[1]) if len(sys.argv) > 1 else 1934
+    tol = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-1
+
+    import jax
+    import jax.numpy as jnp
+
+    import xmtpu  # noqa: F401  (x64 + cache config)
+    from xmtpu.assembly.creatematrix import create_matrix_arrays
+    from xmtpu.ops import manifold as mf
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver import trust_region as tr
+
+    print(f"devices: {jax.devices()}")
+    t0 = time.time()
+    scene = make_scene(n_cameras=n_cam, n_points=max(2000, 4 * n_cam),
+                       obs_per_camera=60, noise=1e-3, seed=0)
+    print(f"scene E={len(scene.edges)} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    jax.device_get(Q.VT_inv[0, 0])
+    print(f"SchurQ build {time.time()-t0:.1f}s")
+
+    n = Q.n_cameras
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,))
+    cfg = tr.TRConfig(chunk=50)
+
+    for name, solve in [
+        ("schurq_f64", lambda: tr.trust_region_solve(Q, R0, s0, 0.0, tol, cfg=cfg)),
+        ("schurq_mixed", lambda: tr.trust_region_solve_mixed(Q, R0, s0, 0.0, tol, cfg=cfg)),
+    ]:
+        res = solve()
+        jax.device_get(res.primal)           # compile + first run
+        t0 = time.time()
+        res = solve()
+        p, g, ko, ki = jax.device_get((res.primal, res.gradnorm,
+                                       res.outer_iters, res.total_inner))
+        print(f"{name}: {time.time()-t0:.2f}s warm  outer={ko} inner={ki} "
+              f"primal={p:.4e} gradnorm={g:.2e}")
+
+
+if __name__ == "__main__":
+    main()

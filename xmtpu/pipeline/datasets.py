@@ -44,7 +44,7 @@ _REPLICA_K = np.array([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]])
 def load_replica_gt(dataset_path: str) -> dict:
     """``traj.txt`` rows are flattened 4x4 camera-to-world poses; convert to
     world-to-camera (readgt_replica.py:9-32)."""
-    data = np.loadtxt(os.path.join(dataset_path, "traj.txt"))
+    data = np.atleast_2d(np.loadtxt(os.path.join(dataset_path, "traj.txt")))
     results = {}
     for i in range(data.shape[0]):
         pose = data[i].reshape(4, 4)

@@ -80,3 +80,30 @@ def test_checkpoint_roundtrip(tmp_path, problem):
     ck2 = ck._replace(escape_dir=None)
     save_checkpoint(p, ck2)
     assert load_checkpoint(p).escape_dir is None
+
+
+def test_implicit_recovery_matches_dense(problem):
+    from xmtpu.pipeline.recover import recover_XM, recover_XM_implicit
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C, Abar, Q = problem
+    res = solve_arrays(C, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    dense = recover_XM(C, res.R, res.s_ex, Abar, 0.0, verbose=False)
+    impl = recover_XM_implicit(Q, res.R, res.s_ex, 0.0, verbose=False)
+    for a, b in zip(dense, impl):
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
+
+
+def test_xm2_implicit_matches_dense(problem):
+    from xmtpu.pipeline.xm2 import xm2_solve
+
+    scene = problem[0]
+    kw = dict(max_rank=4, tol=1e-7, verbose=False)
+    a = xm2_solve(scene.edges.copy(), scene.weights.copy(),
+                  scene.landmarks.copy(), scene.rgbs.copy(), scene.N, scene.M,
+                  **kw)
+    b = xm2_solve(scene.edges.copy(), scene.weights.copy(),
+                  scene.landmarks.copy(), scene.rgbs.copy(), scene.N, scene.M,
+                  implicit=True, **kw)
+    np.testing.assert_allclose(a.s_real, b.s_real, rtol=1e-5)
+    np.testing.assert_allclose(a.R_real, b.R_real, rtol=1e-4, atol=1e-6)

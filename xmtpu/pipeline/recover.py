@@ -24,6 +24,69 @@ import numpy as np
 from scipy.linalg import eigh
 
 
+def recover_XM_implicit(Q, R, s, lam, verbose: bool = True):
+    """Recovery through the implicit SchurQ operator — no dense ``Abar``.
+
+    Same outputs as :func:`recover_XM`; the translation/landmark solve is
+    ``Q.recover_y`` (structural ``-Mbar^{-1} Vtp_bar^T sR``) and the
+    suboptimality report uses two operator applies instead of a dense
+    inner product.
+    """
+    import jax.numpy as jnp
+
+    R = np.asarray(R, np.float64)
+    s = np.asarray(s, np.float64).ravel()
+    N = s.shape[0]
+    o = R.shape[1]
+
+    sR_blocks = R.reshape(N, 3, o) * s[:, None, None]
+
+    if o > 3:
+        sR = sR_blocks.reshape(3 * N, o)
+        X = sR @ sR.T
+        eig_vals, eig_vecs = eigh(X)
+        idx = np.argsort(eig_vals)[::-1]
+        eig_vals = eig_vals[idx]
+        eig_vecs = eig_vecs[:, idx]
+        sR_real3 = (eig_vecs[:, :3] * np.sqrt(np.maximum(eig_vals[:3], 0.0))).T
+        if abs(eig_vals[3] / eig_vals[2]) < 1e-3:
+            if verbose:
+                print("Optimal rank is 3")
+        else:
+            a = jnp.asarray(sR_real3.T)
+            b = jnp.asarray(sR)
+            subopt = (float(jnp.vdot(a, Q.apply(a)) - jnp.vdot(b, Q.apply(b)))
+                      + lam * np.sum((np.sum(sR_real3.T**2, axis=1) - 1) ** 2) / 3
+                      - lam * np.sum((np.sum(sR**2, axis=1) - 1) ** 2) / 3)
+            if verbose:
+                print("suboptimality: ", subopt)
+        B = sR_real3.reshape(3, N, 3).transpose(1, 0, 2)
+    else:
+        B = sR_blocks.transpose(0, 2, 1)
+
+    s_real = np.linalg.norm(B, axis=(1, 2)) / np.sqrt(3.0)
+    Rb = B / s_real[:, None, None]
+    Rb = np.einsum("ab,nbc->nac", Rb[0].T.copy(), Rb)
+    U, _, Vt = np.linalg.svd(Rb)
+    dets = np.linalg.det(U @ Vt)
+    negative = int(np.sum(dets < 0))
+    if negative > 0 and verbose:
+        print("warning: some det(R) < 0")
+    if negative > N / 2:
+        Rb = -Rb
+        U, _, Vt = np.linalg.svd(Rb)
+    Rb = U @ Vt
+    sB = Rb * s_real[:, None, None]
+    R_real = Rb.transpose(1, 0, 2).reshape(3, 3 * N)
+    sR_real = sB.transpose(1, 0, 2).reshape(3, 3 * N)
+
+    ybar_est = np.asarray(Q.recover_y(jnp.asarray(sR_real.T)))
+    y_est = np.hstack((np.zeros((3, 1)), ybar_est.T))
+    t_est = y_est[:, :N]
+    p_est = y_est[:, N:]
+    return R_real, s_real, p_est, t_est
+
+
 def recover_XM(Q, R, s, Abar, lam, verbose: bool = True):
     """Recover rotations / scales / translations / landmark positions.
 

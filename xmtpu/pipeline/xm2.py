@@ -66,20 +66,50 @@ def xm2_residuals(edges, weights, landmarks, R_real, s_real, t_est, p_est,
     return weights * np.sum(diff**2, axis=1)
 
 
+def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
+                            max_time, verbose, implicit, precision,
+                            rank3_probe=False):
+    if implicit:
+        from xmtpu.ops.schurq import SchurQ
+        from xmtpu.pipeline.recover import recover_XM_implicit
+
+        Q = SchurQ.build(weights, edges, landmarks)
+        if rank3_probe:
+            return solve_arrays(Q, 3, tol, lam, max_time, rank3_only=True,
+                                verbose=verbose, precision=precision), None
+        res = solve_arrays(Q, max_rank, tol, lam, max_time, verbose=verbose,
+                           precision=precision)
+        return res, recover_XM_implicit(Q, res.R, res.s_ex, lam,
+                                        verbose=verbose)
+    C, Abar = create_matrix_arrays(weights, edges, landmarks)
+    if rank3_probe:
+        return solve_arrays(C, 3, tol, lam, max_time, rank3_only=True,
+                            verbose=verbose, precision=precision), None
+    res = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose,
+                       precision=precision)
+    return res, recover_XM(C, res.R, res.s_ex, Abar, lam, verbose=verbose)
+
+
 def xm2_solve(edges, weights, landmarks, rgbs, N, M,
               max_rank: int = 5, tol: float = 1e-1, max_time: float = 1000.0,
               relative: bool = False, percentile: float = 90.0,
-              verbose: bool = True) -> XM2Result:
-    """Full XM^2 pipeline on a cleaned-or-raw observation set."""
+              verbose: bool = True, implicit: bool = False,
+              precision: str = "f64") -> XM2Result:
+    """Full XM^2 pipeline on a cleaned-or-raw observation set.
+
+    ``implicit=True`` routes assembly/solve/recovery through the factored
+    SchurQ operator (no dense C or Abar — the at-scale path);
+    ``precision="mixed"`` enables the f32/f64 ladder.
+    """
     edges, landmarks, weights, rgbs, indices_all = checklandmarks(
         edges, landmarks, weights, rgbs, N, M)
 
     # ---- pass 1 ----
-    C, Abar = create_matrix_arrays(weights, edges, landmarks)
     lam = edges.shape[0] / int(edges[:, 0].max())
-    res = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose)
-    R_real, s_real, p_est, t_est = recover_XM(C, res.R, res.s_ex, Abar, lam,
-                                              verbose=verbose)
+    res, rec = _assemble_solve_recover(weights, edges, landmarks, max_rank,
+                                       tol, lam, max_time, verbose, implicit,
+                                       precision)
+    R_real, s_real, p_est, t_est = rec
     first_pass = (R_real, s_real, p_est, t_est)
 
     # ---- residual cut ----
@@ -99,12 +129,11 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     live = indices_all > -1
     indices_all[live] = indices[indices_all[live]]
 
-    C, Abar = create_matrix_arrays(weights, edges, landmarks)
-
     # rank-3 probe with lam = 0, then adaptive regularization (3_test:338-351)
     lam = 0.0
-    probe = solve_arrays(C, 3, tol, lam, max_time, rank3_only=True,
-                         verbose=verbose)
+    probe, _ = _assemble_solve_recover(weights, edges, landmarks, 3, tol, lam,
+                                       max_time, verbose, implicit, precision,
+                                       rank3_probe=True)
     s = probe.s_ex
     s_avg, s_std = np.mean(s[1:]), np.std(s[1:])
     if np.abs(s_avg - 1) > 2 * s_std or np.sum(s < 0.1) > 10:
@@ -113,9 +142,10 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
         lam = edges.shape[0] / int(edges[:, 0].max())
     elif verbose:
         print("s is good")
-    res = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose)
-    R_real, s_real, p_est, t_est = recover_XM(C, res.R, res.s_ex, Abar, lam,
-                                              verbose=verbose)
+    res, rec = _assemble_solve_recover(weights, edges, landmarks, max_rank,
+                                       tol, lam, max_time, verbose, implicit,
+                                       precision)
+    R_real, s_real, p_est, t_est = rec
 
     return XM2Result(R_real, s_real, p_est, t_est, edges, weights, landmarks,
                      rgbs, indices_all, lam, first_pass)

@@ -53,6 +53,19 @@ def _seg_sum(vals, ids, num, sorted_ids=True):
     return jax.ops.segment_sum(vals, ids, num, indices_are_sorted=sorted_ids)
 
 
+def _seg_sum_bounds(vals, ids, bounds, num):
+    """Sorted segment sum.  f64: cumulative-sum difference at the segment
+    boundaries (measured 2.3x faster than TPU scatter-add; the prefix-sum
+    cancellation error is ~sqrt(E) ulp, fine in f64).  f32: scatter-add (the
+    prefix trick is cancellation-unsafe in single precision)."""
+    if vals.dtype == jnp.float64:
+        csum = jnp.concatenate(
+            [jnp.zeros((1,) + vals.shape[1:], vals.dtype),
+             jnp.cumsum(vals, axis=0)])
+        return csum[bounds[1:]] - csum[bounds[:-1]]
+    return jax.ops.segment_sum(vals, ids, num, indices_are_sorted=True)
+
+
 @register_pytree_node_class
 @dataclass
 class SchurQ(QOperator):
@@ -69,6 +82,8 @@ class SchurQ(QOperator):
       f_f, l_f, wx_f, cf_f: frame-sorted copies
       (cf_* are the V3F coefficients ``w_e / sqrt(q3_l)`` with frame-0 rows
       zeroed)
+      bounds_l: (m+1,) landmark segment boundaries in the l-sorted order
+      bounds_f: (n+1,) frame segment boundaries in the f-sorted order
       inv_q3, inv_sqrt_q3: (m,) inverse (sqrt) landmark weight sums
       VT_inv: (n-1, n-1) explicit inverse of the camera Schur complement
         (applied as a GEMM: on TPU, emulated-f64 triangular solves cost ~20x
@@ -86,14 +101,17 @@ class SchurQ(QOperator):
     l_f: jax.Array
     wx_f: jax.Array
     cf_f: jax.Array
+    bounds_l: jax.Array
+    bounds_f: jax.Array
     inv_q3: jax.Array
     inv_sqrt_q3: jax.Array
     VT_inv: jax.Array
 
     def tree_flatten(self):
         return ((self.Q1, self.V1, self.f_l, self.l_l, self.wx_l, self.cf_l,
-                 self.f_f, self.l_f, self.wx_f, self.cf_f, self.inv_q3,
-                 self.inv_sqrt_q3, self.VT_inv), None)
+                 self.f_f, self.l_f, self.wx_f, self.cf_f, self.bounds_l,
+                 self.bounds_f, self.inv_q3, self.inv_sqrt_q3, self.VT_inv),
+                None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -109,15 +127,18 @@ class SchurQ(QOperator):
         l = edges[:, 1].astype(np.int64) - 1
         N = int(f.max()) + 1
         M = int(l.max()) + 1
-        # host-side orderings (static data)
+        # host-side orderings + segment boundaries (static data)
         ord_l = np.lexsort((f, l))
         ord_f = np.lexsort((l, f))
+        bounds_l = np.searchsorted(l[ord_l], np.arange(M + 1)).astype(np.int32)
+        bounds_f = np.searchsorted(f[ord_f], np.arange(N + 1)).astype(np.int32)
         return _build_schurq(
             jnp.asarray(w), jnp.asarray(x),
             jnp.asarray(f[ord_l], jnp.int32), jnp.asarray(l[ord_l], jnp.int32),
             jnp.asarray(ord_l, jnp.int32),
             jnp.asarray(f[ord_f], jnp.int32), jnp.asarray(l[ord_f], jnp.int32),
             jnp.asarray(ord_f, jnp.int32),
+            jnp.asarray(bounds_l), jnp.asarray(bounds_f),
             N, M)
 
     @property
@@ -138,7 +159,8 @@ class SchurQ(QOperator):
         """``Vtp_bar^T Y``: (n,3,o) -> (b_A (n-1,o), b_B (m,o))."""
         b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
         gathered = jnp.einsum("ea,eao->eo", self.wx_l, Yb[self.f_l])
-        b_B = -_seg_sum(gathered, self.l_l, self.n_landmarks)
+        b_B = -_seg_sum_bounds(gathered, self.l_l, self.bounds_l,
+                               self.n_landmarks)
         return b_A, b_B
 
     def _vtp(self, z_A, z_B):
@@ -146,19 +168,20 @@ class SchurQ(QOperator):
         z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
         out = jnp.einsum("na,no->nao", self.V1, z_t)
         contrib = jnp.einsum("ea,eo->eao", self.wx_f, z_B[self.l_f])
-        return out - _seg_sum(contrib, self.f_f, self.n_cameras)
+        return out - _seg_sum_bounds(contrib, self.f_f, self.bounds_f,
+                                     self.n_cameras)
 
     def _v3f(self, z_B):
         """``V3F z_B``: (m, o) -> (n-1, o)."""
-        out = _seg_sum(self.cf_f[:, None] * z_B[self.l_f], self.f_f,
-                       self.n_cameras)
+        out = _seg_sum_bounds(self.cf_f[:, None] * z_B[self.l_f], self.f_f,
+                              self.bounds_f, self.n_cameras)
         return out[1:]
 
     def _v3fT(self, x_A):
         """``V3F^T x_A``: (n-1, o) -> (m, o)."""
         x_pad = jnp.concatenate([jnp.zeros_like(x_A[:1]), x_A], axis=0)
-        return _seg_sum(self.cf_l[:, None] * x_pad[self.f_l], self.l_l,
-                        self.n_landmarks)
+        return _seg_sum_bounds(self.cf_l[:, None] * x_pad[self.f_l],
+                               self.l_l, self.bounds_l, self.n_landmarks)
 
     def solve_M(self, b_A, b_B):
         """Exact solve of ``Mbar [x_A; x_B] = [b_A; b_B]``."""
@@ -191,7 +214,8 @@ class SchurQ(QOperator):
 
 
 @partial(jax.jit, static_argnames=("N", "M"))
-def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, N: int, M: int) -> SchurQ:
+def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, bounds_l, bounds_f,
+                  N: int, M: int) -> SchurQ:
     wx = w[:, None] * x
     q2 = _seg_sum(w[ord_f], f_f, N)
     q3 = _seg_sum(w[ord_l], l_l, M)
@@ -208,4 +232,5 @@ def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, N: int, M: int) -> Sch
     VT_inv = jax.scipy.linalg.cho_solve(
         (VT_chol, True), jnp.eye(N - 1, dtype=w.dtype))
     return SchurQ(Q1, V1, f_l, l_l, wx[ord_l], cf_l,
-                  f_f, l_f, wx[ord_f], cf_f, inv_q3, inv_sqrt_q3, VT_inv)
+                  f_f, l_f, wx[ord_f], cf_f, bounds_l, bounds_f,
+                  inv_q3, inv_sqrt_q3, VT_inv)

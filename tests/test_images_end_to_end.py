@@ -1,0 +1,118 @@
+"""Full pixels-to-poses integration test with no external tooling.
+
+Renders views of a textured 3-D plane with analytic depth maps, then runs the
+complete xmtpu stack: SIFT features -> matching -> tracks -> depth lifting ->
+view-graph cleanup -> Q assembly -> certified staircase solve -> recovery ->
+pose accuracy vs the rendering ground truth.
+
+This is the self-contained replacement for the reference's
+COLMAP+GLOMAP+GT-depth pipeline (3_test_colmap_glomap.py) — the equivalent of
+the GLOMAP gtest synthetic-dataset strategy, but through real image pixels.
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from xmtpu.pipeline import metrics
+from xmtpu.pipeline.features import run_frontend
+from xmtpu.pipeline.xm2 import xm2_solve
+
+SIZE = 400
+K = np.array([[300.0, 0, SIZE / 2], [0, 300.0, SIZE / 2], [0, 0, 1]])
+
+
+def _texture(seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 1.5)
+    return cv2.normalize(img, None, 0, 255, cv2.NORM_MINMAX)
+
+
+def _make_views(n_views=5, seed=1):
+    """Views of the plane z = Z0 textured by `_texture` (world X,Y in
+    [-1, 1]^2 maps linearly to texture pixels)."""
+    from xmtpu.pipeline.refine import _expm_so3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    tex = _texture()
+    Z0 = 4.0
+    half = 1.5  # plane half-extent in world units
+
+    # texture pixel (u,v) <-> world (X, Y, Z0)
+    def tex_to_world(u, v):
+        X = (u / (SIZE - 1) * 2 - 1) * half
+        Y = (v / (SIZE - 1) * 2 - 1) * half
+        return np.stack([X, Y, np.full_like(X, Z0, dtype=float)], axis=-1)
+
+    images, depths, R_gt, t_gt = [], [], [], []
+    for i in range(n_views):
+        if i == 0:
+            R = np.eye(3)
+            c = np.zeros(3)
+        else:
+            w = rng.normal(size=3) * 0.03
+            R = np.asarray(_expm_so3(jnp.asarray(w)))  # c2w
+            c = rng.normal(size=3) * np.array([0.3, 0.3, 0.1])
+        Rw2c = R.T
+        tw2c = -Rw2c @ c
+
+        # plane corners -> image homography
+        corners_t = np.array([[0, 0], [SIZE - 1, 0], [SIZE - 1, SIZE - 1],
+                              [0, SIZE - 1]], float)
+        Pw = tex_to_world(corners_t[:, 0], corners_t[:, 1])
+        Pc = (Rw2c @ Pw.T).T + tw2c
+        proj = (K @ Pc.T).T
+        proj = proj[:, :2] / proj[:, 2:3]
+        H = cv2.getPerspectiveTransform(corners_t.astype(np.float32),
+                                        proj.astype(np.float32))
+        img = cv2.warpPerspective(tex, H, (SIZE, SIZE))
+
+        # analytic depth: ray K^-1 (u,v,1) meets plane n_c . (z d) = d0
+        n_w = np.array([0.0, 0, 1])
+        n_c = Rw2c @ n_w
+        d0 = n_w @ (np.array([0, 0, Z0]) - c)   # plane offset in cam frame
+        uu, vv = np.meshgrid(np.arange(SIZE), np.arange(SIZE))
+        rays = np.linalg.inv(K) @ np.stack(
+            [uu.ravel(), vv.ravel(), np.ones(SIZE * SIZE)])
+        z = d0 / (n_c @ rays)
+        depth = z.reshape(SIZE, SIZE)
+        depth[img == 0] = 0.0   # out-of-plane pixels (warp border) invalid
+
+        images.append(img)
+        depths.append(depth)
+        R_gt.append(R)
+        t_gt.append(c)
+    return images, depths, np.stack(R_gt), np.stack(t_gt)
+
+
+@pytest.mark.slow
+def test_pixels_to_certified_poses():
+    images, depths, R_gt, t_gt = _make_views()
+
+    def depth_for_frame(i):
+        return depths[i], np.ones_like(depths[i])
+
+    edges, weights, landmarks, relposes = run_frontend(
+        images, K, depth_for_frame, max_features=1500, border_margin=3)
+    assert len(edges) > 300
+    N = int(edges[:, 0].max())
+    M = int(edges[:, 1].max())
+    assert N == len(images)
+
+    rgbs = np.zeros((len(edges), 3))
+    out = xm2_solve(edges, weights, landmarks, rgbs, N, M, max_rank=4,
+                    tol=1e-6, verbose=False, percentile=95.0)
+
+    live = out.indices_all > -1
+    order = out.indices_all[live]
+    R_gt_w2c = np.concatenate([R.T for R in R_gt[live]], axis=1)
+    t_w2c = -np.einsum("nba,nb->na", R_gt[live], t_gt[live]).T
+    N2 = out.s_real.shape[0]
+    Rb = out.R_real.reshape(3, N2, 3).transpose(1, 0, 2)[order]
+    m = metrics.evaluate(Rb.transpose(1, 0, 2).reshape(3, -1),
+                         out.t_est[:, order], R_gt_w2c, t_w2c, robust=False)
+    assert m["ATE_R_deg"] < 1.0
+    assert m["ATE_T"] < 0.05

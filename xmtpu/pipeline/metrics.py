@@ -175,7 +175,14 @@ def evaluate(R_est, t_est, R_gt, t_gt, robust: bool = True):
     if robust:
         s_g, R_g, t_g = ATE_TEASER_C2W(R_est, t_est, R_gt, t_gt)
     else:
-        s_g, R_g, t_g = ATE_LEASTSQUARE(R_est, t_est, R_gt, t_gt)
+        # ATE_LEASTSQUARE (faithful port) aligns its target to the raw cloud
+        # it is given; the ATE formula below compares against camera centers,
+        # so feed it centers (the reference only ever feeds the TEASER path
+        # into that formula)
+        N = R_gt.shape[1] // 3
+        Rg_blocks = R_gt.reshape(3, N, 3).transpose(1, 0, 2)
+        centers = -np.einsum("nba,nb->an", Rg_blocks, t_gt.T)
+        s_g, R_g, t_g = ATE_LEASTSQUARE(R_est, t_est, R_gt, centers)
     m = ate_rpe(R_est, t_est, R_gt, t_gt, s_g, R_g, t_g)
     avg = t_gt.mean(axis=1)
     cov_t_gt = np.mean(np.linalg.norm(t_gt - avg[:, None], axis=0))

@@ -133,8 +133,9 @@ def _min_eig_bound(n: int) -> float:
     return 100.0
 
 
-@partial(jax.jit, static_argnames=("use_lanczos",))
-def _certify_core(C, sR, lam, primal, use_lanczos: bool = False):
+@partial(jax.jit, static_argnames=("use_lanczos", "has_v0"))
+def _certify_core(C, sR, lam, primal, v0=None, use_lanczos: bool = False,
+                  has_v0: bool = False):
     """Builds Z, solves the dual LS exactly, extracts the minimum eigenpair.
 
     ``use_lanczos=True`` replaces the O(n^3) full eigendecomposition with a
@@ -177,7 +178,8 @@ def _certify_core(C, sR, lam, primal, use_lanczos: bool = False):
     Z = Z.at[rows, cols].add(-Dall)
 
     if use_lanczos:
-        lam_min, v, resid = lanczos_min_eig(lambda x: Z @ x, Z.shape[0])
+        lam_min, v, resid = lanczos_min_eig(lambda x: Z @ x, Z.shape[0],
+                                            v0=v0 if has_v0 else None)
     else:
         w, V = jnp.linalg.eigh(Z)
         lam_min = w[0]
@@ -191,8 +193,8 @@ def _certify_core(C, sR, lam, primal, use_lanczos: bool = False):
     return lam_min, v, gap, dual, resid
 
 
-@jax.jit
-def _certify_core_matvec(Q_op, sR, lam, primal):
+@partial(jax.jit, static_argnames=("has_v0",))
+def _certify_core_matvec(Q_op, sR, lam, primal, v0=None, has_v0: bool = False):
     """Fully matvec-based certificate for implicit operators (SchurQ): the
     dual matrix ``Z = C + lam-corr - A^*(y)`` is never materialized; its
     action is ``C x`` (one operator apply) plus two structured block terms,
@@ -234,7 +236,8 @@ def _certify_core_matvec(Q_op, sR, lam, primal):
         out = out - jnp.einsum("nab,nb->na", Dall, xb).reshape(3 * n)
         return out
 
-    lam_min, v, resid = lanczos_min_eig(zmul_vec, 3 * n)
+    lam_min, v, resid = lanczos_min_eig(zmul_vec, 3 * n,
+                                        v0=v0 if has_v0 else None)
 
     dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
     gap = primal - dual - 3.0 * n * jnp.minimum(0.0, lam_min)
@@ -242,7 +245,7 @@ def _certify_core_matvec(Q_op, sR, lam, primal):
 
 
 def certify(C, sR, lam, primal, verbose: bool = False,
-            method: str = "auto") -> CertificateResult:
+            method: str = "auto", v0=None) -> CertificateResult:
     """Check global optimality of the rank-o point ``sR``.
 
     Args:
@@ -252,6 +255,8 @@ def certify(C, sR, lam, primal, verbose: bool = False,
       primal: primal objective value at ``sR``.
       method: min-eig solver — "eigh", "lanczos", or "auto" (eigh below
         ``LANCZOS_AUTO_DIM`` rows, Lanczos above).
+      v0: optional Lanczos start vector (e.g. the previous rank's escape
+        direction — extreme eigenvectors drift little between ranks).
     """
     Q = as_qop(C)
     sR = jnp.asarray(sR, jnp.float64)
@@ -264,11 +269,13 @@ def certify(C, sR, lam, primal, verbose: bool = False,
             use_lanczos = sR.shape[0] > LANCZOS_AUTO_DIM
         else:
             use_lanczos = method == "lanczos"
-        lam_min, v, gap, dual, resid = _certify_core(Q.C, sR, lam, primal,
-                                                     use_lanczos=use_lanczos)
+        lam_min, v, gap, dual, resid = _certify_core(
+            Q.C, sR, lam, primal, v0=v0, use_lanczos=use_lanczos,
+            has_v0=v0 is not None)
     else:
         # implicit operator: matvec-only certificate
-        lam_min, v, gap, dual, resid = _certify_core_matvec(Q, sR, lam, primal)
+        lam_min, v, gap, dual, resid = _certify_core_matvec(
+            Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
     bound = _min_eig_bound(n)
     # the Lanczos Ritz value only bounds lam_min from above; subtract its
     # residual so an unresolved negative eigenvalue can't slip through the

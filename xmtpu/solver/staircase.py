@@ -113,6 +113,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     s_ex = (jnp.asarray(s0_ex, jnp.float64) if s0_ex is not None
             else jnp.ones((n,), jnp.float64))
     escape_dir = None
+    prev_escape_v = None
 
     if resume_from is not None:
         ck = load_checkpoint(resume_from)
@@ -155,7 +156,8 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             break
 
         sR = _scaled_factor(R_cur, s_cur)
-        cert = certify(C, sR, lam, res.primal, verbose=verbose)
+        cert = certify(C, sR, lam, res.primal, verbose=verbose,
+                       v0=prev_escape_v)
         certified_v, gap_v, lam_min_v = jax.device_get(
             (cert.certified, cert.gap, cert.lam_min))
         gap, lam_min = float(gap_v), float(lam_min_v)
@@ -169,6 +171,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             R0 = jnp.concatenate(
                 [R_cur, jnp.zeros((n, 3, 1), R_cur.dtype)], axis=2)
             s_ex = s_cur
+            prev_escape_v = cert.v
             escape_dir = np.asarray(cert.v).reshape(n, 3) / np.asarray(s_cur)[:, None]
             escape_dir = jnp.asarray(escape_dir.reshape(3 * n))
             o += 1

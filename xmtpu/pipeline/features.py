@@ -91,6 +91,76 @@ def two_view_geometry(pts_a, pts_b, K, ransac_thresh_px: float = 1.5):
     return R, t.ravel(), (mask_pose.ravel() > 0)
 
 
+def two_view_fundamental(pts_a, pts_b, ransac_thresh_px: float = 1.5):
+    """Uncalibrated two-view geometry: fundamental matrix + inlier mask.
+
+    The GLOMAP flow estimates pairwise geometry before intrinsics are
+    trusted; the F matrices feed view-graph calibration
+    (deps/glomap/glomap/estimators/view_graph_calibration.cc:68-104).
+    Uses OpenCV RANSAC when available, else a normalized 8-point fit.
+    """
+    pts_a = np.asarray(pts_a, dtype=np.float64)
+    pts_b = np.asarray(pts_b, dtype=np.float64)
+    if len(pts_a) < 8:
+        return None, None
+    if _HAS_CV2:
+        F, mask = cv2.findFundamentalMat(pts_a, pts_b, cv2.FM_RANSAC,
+                                         ransac_thresh_px, 0.999)
+        if F is None or F.shape != (3, 3):
+            return None, None
+        return F, mask.ravel() > 0
+    # normalized 8-point (Hartley) without RANSAC
+    def normalize(p):
+        c = p.mean(axis=0)
+        s = np.sqrt(2.0) / max(np.mean(np.linalg.norm(p - c, axis=1)), 1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        ph = np.concatenate([p, np.ones((len(p), 1))], axis=1) @ T.T
+        return ph, T
+    pa, Ta = normalize(pts_a)
+    pb, Tb = normalize(pts_b)
+    A = np.einsum("ni,nj->nij", pb, pa).reshape(len(pa), 9)
+    _, _, vt = np.linalg.svd(A)
+    F = vt[-1].reshape(3, 3)
+    u, s, v = np.linalg.svd(F)
+    F = u @ np.diag([s[0], s[1], 0.0]) @ v
+    F = Tb.T @ F @ Ta
+    F /= max(np.linalg.norm(F), 1e-12)
+    return F, np.ones(len(pts_a), dtype=bool)
+
+
+def calibrate_from_matches(features: list[ImageFeatures], matches,
+                           principal_point, focal_init: float,
+                           opts=None):
+    """Fetzer focal calibration over matched pairs (single shared camera).
+
+    ``matches`` is the list of ``(i, j, pairs)`` from
+    :func:`match_exhaustive`. Returns ``(focal, pair_valid_mask)`` — the
+    GLOMAP view-graph-calibration stage for the common one-camera capture
+    (view_graph_calibration.cc:12-49 with
+    FetzerFocalLengthSameCameraCost, cost_function.h:161-199).
+    """
+    from xmtpu.pipeline.calibration import calibrate_view_graph
+    Fs, keep = [], []
+    for k, (i, j, pairs) in enumerate(matches):
+        pa = features[i].keypoints[pairs[:, 0]]
+        pb = features[j].keypoints[pairs[:, 1]]
+        F, inl = two_view_fundamental(pa, pb)
+        if F is None or inl.sum() < 8:
+            continue
+        Fs.append(F)
+        keep.append(k)
+    if not Fs:
+        return focal_init, np.ones(len(matches), dtype=bool)
+    P = len(Fs)
+    out = calibrate_view_graph(
+        np.array(Fs), np.zeros(P, int), np.zeros(P, int),
+        np.asarray(principal_point, dtype=np.float64).reshape(1, 2),
+        np.array([float(focal_init)]), opts=opts)
+    pair_valid = np.ones(len(matches), dtype=bool)
+    pair_valid[np.asarray(keep, int)] = out["pair_valid"]
+    return float(out["focals"][0]), pair_valid
+
+
 def match_exhaustive(features: list[ImageFeatures], K=None,
                      min_inliers: int = 15, verify: bool = True):
     """All-pairs matching (pycolmap.match_exhaustive equivalent).
@@ -140,10 +210,22 @@ def build_tracks(matches, n_images: int):
 def run_frontend(images: list, K: np.ndarray,
                  depth_for_frame: Callable[[int], tuple],
                  min_track_frames: int = 2, max_features: int = 4096,
-                 border_margin: int = 0, depth_clip_pct: float | None = None):
+                 border_margin: int = 0, depth_clip_pct: float | None = None,
+                 refine_focal: bool = False):
     """images + intrinsics + depth -> ``(edges (E,2) 1-based, weights,
-    landmarks, relposes)`` for the solver pipeline."""
+    landmarks, relposes)`` for the solver pipeline.
+
+    ``refine_focal=True`` runs the view-graph-calibration stage first
+    (Fetzer focal from pairwise fundamental matrices, as GLOMAP stage 1)
+    and replaces K's focal before geometric verification and lifting."""
     feats = [extract_features(im, max_features) for im in images]
+    K = np.asarray(K, dtype=np.float64)
+    if refine_focal:
+        matches_raw, _ = match_exhaustive(feats, None, verify=False)
+        f, _ = calibrate_from_matches(feats, matches_raw, K[:2, 2],
+                                      0.5 * (K[0, 0] + K[1, 1]))
+        K = K.copy()
+        K[0, 0] = K[1, 1] = f
     matches, relposes = match_exhaustive(feats, K)
     images_idx, feat_idx, tracks = build_tracks(matches, len(images))
 

@@ -47,6 +47,17 @@ from xmtpu.ops.qop import as_qop
 # Lanczos (O(k n^2) matvecs, no O(n^2) eigenvector matrix)
 LANCZOS_AUTO_DIM = 1500
 
+# The 'auto' dense path does not eigendecompose at all: the acceptance test
+# "lam_min(Z) > -bound" is exactly a PSD test of Z + bound I, which a
+# Cholesky factorization answers directly (NaN on failure) at a third of the
+# FLOPs of eigh and none of its iteration. The full spectrum is never needed:
+# when Z is (near-)PSD its smallest eigenvalues are a cluster at zero — the
+# worst case for Krylov methods but certification needs no eigenvector; when
+# certification fails, lam_min is well-separated negative — the best case
+# for Lanczos, which then supplies the escape direction. (TPU f64 eigh is
+# software-emulated: SIMPLE1 certificate 475 ms via eigh, ~50 ms via the
+# Cholesky probe.)
+
 
 class CertificateResult(NamedTuple):
     certified: jax.Array   # bool
@@ -133,16 +144,11 @@ def _min_eig_bound(n: int) -> float:
     return 100.0
 
 
-@partial(jax.jit, static_argnames=("use_lanczos", "has_v0"))
-def _certify_core(C, sR, lam, primal, v0=None, use_lanczos: bool = False,
-                  has_v0: bool = False):
-    """Builds Z, solves the dual LS exactly, extracts the minimum eigenpair.
+def _z_and_dual(C, sR, lam):
+    """Builds the dual matrix Z and the dual objective (traced helper).
 
-    ``use_lanczos=True`` replaces the O(n^3) full eigendecomposition with a
-    matvec-driven Lanczos solve (see xmtpu.ops.lanczos) — the TPU-native
-    answer to the reference's syevd scaling wall.
-
-    Returns (lam_min, v, gap, dual).
+    Z = C + 2 lam (x_ii - 1) diag correction - A^*(y) with y the exact
+    least-squares dual multiplier (block-diagonal normal equations).
     """
     three_n, o = sR.shape
     n = three_n // 3
@@ -177,6 +183,67 @@ def _certify_core(C, sR, lam, primal, v0=None, use_lanczos: bool = False,
     cols = (3 * jnp.arange(n))[:, None, None] + jnp.arange(3)[None, None, :]
     Z = Z.at[rows, cols].add(-Dall)
 
+    dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
+    return Z, dual
+
+
+@jax.jit
+def _build_z_dual_psd(C, sR, lam, shift):
+    """Z, dual, the Cholesky PSD probe of Z + shift I, and — when the probe
+    succeeds — an inverse-Lanczos refinement of lam_min(Z), all in one XLA
+    program.
+
+    The probe alone decides the min-eig acceptance branch ("lam_min >
+    -bound" == PSD-ness of Z + bound I). The refinement reuses the Cholesky
+    factor: Lanczos on (Z + shift I)^{-1} (two triangular solves per
+    iteration, O(n^2)) maps Z's near-zero cluster — the worst case for
+    Krylov on Z itself — to the *largest*, well-separated eigenvalues of the
+    inverse, so a few dozen iterations pin lam_min(Z) = 1/theta - shift to
+    machine-level accuracy for reporting and gap computation.
+    """
+    import jax.scipy.linalg as jsl
+
+    Z, dual = _z_and_dual(C, sR, lam)
+    eye = jnp.eye(Z.shape[0], dtype=Z.dtype)
+    L = jnp.linalg.cholesky(Z + shift * eye)
+    psd_shift = ~jnp.any(jnp.isnan(L))
+    Lsafe = jnp.where(psd_shift, L, eye)
+
+    # materialize the inverse once (two triangular solves with n RHS — the
+    # same latency chain as ONE per-vector solve) so every Lanczos iteration
+    # is a dense MXU matvec instead of two sequential triangular solves
+    Ainv = jsl.cho_solve((Lsafe, True), eye)
+    Ainv = 0.5 * (Ainv + Ainv.T)
+
+    theta_neg, v, resid = lanczos_min_eig(lambda x: -(Ainv @ x), Z.shape[0],
+                                          num_iters=48)
+    theta = -theta_neg                      # = lambda_max((Z + shift I)^-1)
+    # one-sided bounds on lam_min(Z) from the Ritz interval
+    lam_min_est = 1.0 / theta - shift
+    lam_min_lb = 1.0 / (theta + resid) - shift
+    return Z, dual, psd_shift, lam_min_est, lam_min_lb, v
+
+
+@partial(jax.jit, static_argnames=("has_v0",))
+def _lanczos_escape(Z, v0=None, has_v0: bool = False):
+    return lanczos_min_eig(lambda x: Z @ x, Z.shape[0],
+                           v0=v0 if has_v0 else None)
+
+
+@partial(jax.jit, static_argnames=("use_lanczos", "has_v0"))
+def _certify_core(C, sR, lam, primal, v0=None, use_lanczos: bool = False,
+                  has_v0: bool = False):
+    """Builds Z, solves the dual LS exactly, extracts the minimum eigenpair.
+
+    ``use_lanczos=True`` replaces the O(n^3) full eigendecomposition with a
+    matvec-driven Lanczos solve (see xmtpu.ops.lanczos) — the TPU-native
+    answer to the reference's syevd scaling wall.
+
+    Returns (lam_min, v, gap, dual).
+    """
+    n = sR.shape[0] // 3
+    Z, dual = _z_and_dual(C, sR, lam)
+
     if use_lanczos:
         lam_min, v, resid = lanczos_min_eig(lambda x: Z @ x, Z.shape[0],
                                             v0=v0 if has_v0 else None)
@@ -186,10 +253,11 @@ def _certify_core(C, sR, lam, primal, v0=None, use_lanczos: bool = False,
         v = V[:, 0]
         resid = jnp.zeros(())
 
-    # duality gap (checkeig.h:320-337)
-    dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
+    # duality gap (checkeig.h:320-337); under Lanczos the Ritz value only
+    # bounds lam_min from above, so correct with its residual interval
+    # (resid == 0 on the eigh path -> exact reference formula)
     K = 3.0 * n
-    gap = primal - dual - K * jnp.minimum(0.0, lam_min)
+    gap = primal - dual - K * jnp.minimum(0.0, lam_min - resid)
     return lam_min, v, gap, dual, resid
 
 
@@ -240,7 +308,8 @@ def _certify_core_matvec(Q_op, sR, lam, primal, v0=None, has_v0: bool = False):
                                         v0=v0 if has_v0 else None)
 
     dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
-    gap = primal - dual - 3.0 * n * jnp.minimum(0.0, lam_min)
+    # Ritz-residual-corrected gap, as in _certify_core
+    gap = primal - dual - 3.0 * n * jnp.minimum(0.0, lam_min - resid)
     return lam_min, v, gap, dual, resid
 
 
@@ -263,24 +332,47 @@ def certify(C, sR, lam, primal, verbose: bool = False,
     n = sR.shape[0] // 3
     lam = jnp.asarray(lam, jnp.float64)
     primal = jnp.asarray(primal, jnp.float64)
-
-    if hasattr(Q, "C"):
-        if method == "auto":
-            use_lanczos = sR.shape[0] > LANCZOS_AUTO_DIM
-        else:
-            use_lanczos = method == "lanczos"
-        lam_min, v, gap, dual, resid = _certify_core(
-            Q.C, sR, lam, primal, v0=v0, use_lanczos=use_lanczos,
-            has_v0=v0 is not None)
-    else:
-        # implicit operator: matvec-only certificate
-        lam_min, v, gap, dual, resid = _certify_core_matvec(
-            Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
     bound = _min_eig_bound(n)
-    # the Lanczos Ritz value only bounds lam_min from above; subtract its
-    # residual so an unresolved negative eigenvalue can't slip through the
-    # min-eig acceptance branch (eigh path: resid == 0, exact reference rule)
-    certified = (gap / primal < 1e-3) | (lam_min - resid > -bound)
+
+    if hasattr(Q, "C") and method == "auto":
+        # Cholesky probe: "lam_min > -bound" is a PSD test of Z + bound I.
+        # No eigendecomposition in the certified case; Lanczos (fast on a
+        # separated negative extreme) only when the probe fails and the
+        # escape direction is actually needed.
+        Z, dual, psd_shift, lam_min_est, lam_min_lb, v_inv = (
+            _build_z_dual_psd(Q.C, sR, lam, bound))
+        psd_shift_v, dual_v, primal_v, lam_min_v, lam_min_lb_v = (
+            jax.device_get((psd_shift, dual, primal, lam_min_est,
+                            lam_min_lb)))
+        K = 3.0 * n
+        dual = np.float64(dual_v)
+        if bool(psd_shift_v):
+            # lam_min > -bound: certified by the min-eig branch; report the
+            # inverse-Lanczos-refined lam_min and the reference gap formula
+            lam_min = np.float64(lam_min_v)
+            gap = np.float64(primal_v - dual_v -
+                             K * min(0.0, float(lam_min_lb_v)))
+            v = v_inv            # refined extreme eigenvector (diagnostic)
+            certified = True
+        else:
+            lam_min, v, resid = _lanczos_escape(Z, v0=v0,
+                                                has_v0=v0 is not None)
+            gap = primal - dual - K * jnp.minimum(0.0, lam_min - resid)
+            certified = (gap / primal < 1e-3) | (lam_min - resid > -bound)
+    else:
+        if hasattr(Q, "C"):
+            use_lanczos = method == "lanczos"
+            lam_min, v, gap, dual, resid = _certify_core(
+                Q.C, sR, lam, primal, v0=v0, use_lanczos=use_lanczos,
+                has_v0=v0 is not None)
+        else:
+            # implicit operator: matvec-only certificate
+            lam_min, v, gap, dual, resid = _certify_core_matvec(
+                Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
+        # the Lanczos Ritz value only bounds lam_min from above; subtract its
+        # residual so an unresolved negative eigenvalue can't slip through the
+        # min-eig acceptance branch (eigh: resid == 0, exact reference rule)
+        certified = (gap / primal < 1e-3) | (lam_min - resid > -bound)
     if verbose:
         print(f"[certify] primal={float(primal):.6e} dual={float(dual):.6e} "
               f"gap={float(gap):.3e} lam_min={float(lam_min):.3e} "

@@ -5,10 +5,13 @@ use interactively:
     python benchmarks/scale_bench.py [n_cameras] [tol]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -108,16 +108,28 @@ def load_tum_camera(dataset_path: str) -> dict:
 # ---------------------------------------------------------------- COLMAP text
 
 def _parse_camera_K(model: str, params: list[float]) -> np.ndarray:
-    K = np.eye(3)
-    if model == "SIMPLE_PINHOLE":
-        K[0, 0] = K[1, 1] = params[0]
-        K[0, 2], K[1, 2] = params[1], params[2]
-    elif model == "PINHOLE":
-        K[0, 0], K[1, 1] = params[0], params[1]
-        K[0, 2], K[1, 2] = params[2], params[3]
-    else:
-        raise ValueError(f"Unsupported camera model: {model}")
-    return K
+    """Intrinsics matrix for any COLMAP camera model (distortion handled by
+    xmtpu.pipeline.undistort for the non-pinhole members of the family)."""
+    from xmtpu.pipeline.undistort import Camera
+    return Camera(model, np.asarray(params)).K
+
+
+def load_camera_models(file_path: str) -> dict:
+    """Parse a COLMAP ``cameras.txt`` into full camera models (with
+    distortion parameters), {camera_id: undistort.Camera}. Companion of
+    :func:`load_camera_data` for non-pinhole captures."""
+    from xmtpu.pipeline.undistort import Camera
+    cams = {}
+    with open(file_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cams[int(parts[0])] = Camera(
+                parts[1], np.array(list(map(float, parts[4:]))),
+                width=int(parts[2]), height=int(parts[3]))
+    return cams
 
 
 def load_camera_data(file_path: str) -> dict:

@@ -182,8 +182,10 @@ def calibrate_view_graph(F, cam0, cam1, principal_points, focals,
         # freeze prior cameras: zero their rows/cols, unit diagonal
         H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         g = g * free
-        step = jnp.linalg.solve(H + lm * jnp.diag(jnp.diag(H)) +
-                                1e-12 * jnp.eye(C), g)
+        # Cholesky (H is PSD + damping): the TPU backend has no f64 LU
+        Hd = H + lm * jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(C)
+        L = jnp.linalg.cholesky(Hd)
+        step = jax.scipy.linalg.cho_solve((L, True), g)
         f_new = jnp.maximum(f - step, 1e-3)  # lower bound, cc:113
         r_new = res_fn(f_new)
         s_new = jnp.sum(r_new * r_new, axis=1)

@@ -45,6 +45,17 @@ def main(argv=None):
     p = sub.add_parser("info", help="print .bin header")
     p.add_argument("file")
 
+    p = sub.add_parser(
+        "mapper", help="glomap-mapper replacement: COLMAP database.db -> "
+        "view-graph stages 0-4 -> tempdata export")
+    p.add_argument("--database_path", required=True)
+    p.add_argument("--output_path", required=True,
+                   help="directory for output/filename/relative_pose.txt")
+    p.add_argument("--max-num-view-per-track", type=int, default=1000000)
+    p.add_argument("--min-num-view-per-track", type=int, default=3)
+    p.add_argument("--skip-view-graph-calibration", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "info":
@@ -53,6 +64,24 @@ def main(argv=None):
             rows, cols = np.fromfile(f, dtype=np.int32, count=2)
         print(f"{args.file}: {rows} x {cols} float64 "
               f"({rows * cols * 8 / 1e6:.1f} MB payload)")
+        return 0
+
+    if args.cmd == "mapper":
+        from xmtpu.pipeline.colmap_db import (database_to_view_graph,
+                                              read_database)
+        from xmtpu.pipeline.global_mapper import (GlobalMapperOptions,
+                                                  export_tempdata,
+                                                  global_mapper_solve)
+        vg = database_to_view_graph(read_database(args.database_path))
+        res = global_mapper_solve(vg, GlobalMapperOptions(
+            skip_view_graph_calibration=args.skip_view_graph_calibration,
+            min_num_view_per_track=args.min_num_view_per_track,
+            max_num_view_per_track=args.max_num_view_per_track),
+            verbose=not args.quiet)
+        export_tempdata(res, vg, args.output_path)
+        print(f"mapper: {int(res.registered.sum())} images, "
+              f"{res.n_tracks} tracks, {len(res.obs_image)} observations "
+              f"-> {args.output_path}")
         return 0
 
     import os

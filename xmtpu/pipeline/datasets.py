@@ -155,15 +155,19 @@ def load_image_data(file_path: str) -> dict:
     returns {name: (image_id, camera_id, qw,qx,qy,qz, t)}
     (readgt_colmap.py:66-91)."""
     images = {}
-    count = 0
+    expecting_points = False
     with open(file_path) as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("#"):
+            if line.startswith("#"):
                 continue
-            count += 1
-            if count % 2 == 0:  # POINTS2D lines
+            if expecting_points:
+                # POINTS2D line — may be empty for images without points
+                expecting_points = False
                 continue
+            if not line:
+                continue
+            expecting_points = True
             parts = line.split()
             image_id = int(parts[0])
             qw, qx, qy, qz = map(float, parts[1:5])

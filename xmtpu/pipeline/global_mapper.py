@@ -238,3 +238,35 @@ def global_mapper_solve(vg: ViewGraphData,
 
     return MapperResult(obs_image, obs_xy, obs_track, vg.image_names,
                         registered, valid, R_rel, t_rel, focals, n_tracks)
+
+
+def export_tempdata(res: MapperResult, vg: ViewGraphData,
+                    tempdata_dir: str) -> None:
+    """Write the XM-GLOMAP export files (global_mapper.cc:134-184):
+    ``output.txt`` (image_id u v track, 1-based track ids), ``filename.txt``
+    (image_id name) and ``relative_pose.txt`` (id1 id2 qw qx qy qz tx ty tz)
+    — readable by :func:`xmtpu.pipeline.frontend.parse_glomap_tempdata` and
+    by the reference driver (3_test_colmap_glomap.py:134-192)."""
+    import os
+
+    from .colmap_io import rot2quat
+
+    os.makedirs(tempdata_dir, exist_ok=True)
+    ids = np.asarray(vg.image_ids)
+    with open(os.path.join(tempdata_dir, "output.txt"), "w") as f:
+        for k in range(len(res.obs_image)):
+            f.write(f"{ids[res.obs_image[k]]} "
+                    f"{float(res.obs_xy[k, 0])!r} "
+                    f"{float(res.obs_xy[k, 1])!r} {res.obs_track[k] + 1}\n")
+    with open(os.path.join(tempdata_dir, "filename.txt"), "w") as f:
+        for i, name in enumerate(res.image_names):
+            f.write(f"{ids[i]} {name}\n")
+    with open(os.path.join(tempdata_dir, "relative_pose.txt"), "w") as f:
+        for p in np.flatnonzero(res.pair_valid):
+            q = rot2quat(res.R_rel[p])
+            t = res.t_rel[p]
+            vals = " ".join(repr(float(v))
+                             for v in (q[0], q[1], q[2], q[3],
+                                       t[0], t[1], t[2]))
+            f.write(f"{ids[vg.pairs[p, 0]]} {ids[vg.pairs[p, 1]]} "
+                    f"{vals}\n")

@@ -54,9 +54,13 @@ def _expm_so3(w):
     start exactly there; ``jnp.linalg.norm`` would give a NaN gradient).
     """
     t2 = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(t2 + 1e-40)
-    A = jnp.sin(theta) / theta
-    B = (1.0 - jnp.cos(theta)) / (t2 + 1e-40)
+    # Small-angle series via where (no tiny epsilon: the TPU's emulated f64
+    # flushes subnormals like 1e-40 to zero, turning sqrt(t2+eps) into 0/0)
+    small = t2 < 1e-12
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
     K = _hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + A * K + B * (K @ K)

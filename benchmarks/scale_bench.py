@@ -44,7 +44,14 @@ def main():
     s0 = jnp.ones((n,))
     cfg = tr.TRConfig(chunk=50)
 
+    t0 = time.time()
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    C = jnp.asarray(C)
+    jax.device_get(C[0, 0])
+    print(f"dense assembly {time.time()-t0:.1f}s ({C.nbytes/1e9:.2f} GB)")
+
     for name, solve in [
+        ("dense_f64", lambda: tr.trust_region_solve(C, R0, s0, 0.0, tol, cfg=cfg)),
         ("schurq_f64", lambda: tr.trust_region_solve(Q, R0, s0, 0.0, tol, cfg=cfg)),
         ("schurq_mixed", lambda: tr.trust_region_solve_mixed(Q, R0, s0, 0.0, tol, cfg=cfg)),
     ]:

@@ -107,3 +107,12 @@ def test_xm2_implicit_matches_dense(problem):
                   implicit=True, **kw)
     np.testing.assert_allclose(a.s_real, b.s_real, rtol=1e-5)
     np.testing.assert_allclose(a.R_real, b.R_real, rtol=1e-4, atol=1e-6)
+
+
+def test_choose_implicit_policy():
+    """Dense while it fits, implicit beyond (docs/PERFORMANCE.md)."""
+    from xmtpu.pipeline.xm2 import choose_implicit
+
+    assert not choose_implicit(1934, 8000)       # BAL-1934: dense wins
+    assert choose_implicit(20000, 100000)        # far beyond the budget
+    assert choose_implicit(1934, 8000, budget_bytes=10 << 20)

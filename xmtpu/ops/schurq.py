@@ -54,15 +54,14 @@ def _seg_sum(vals, ids, num, sorted_ids=True):
 
 
 def _seg_sum_bounds(vals, ids, bounds, num):
-    """Sorted segment sum.  f64: cumulative-sum difference at the segment
-    boundaries (measured 2.3x faster than TPU scatter-add; the prefix-sum
-    cancellation error is ~sqrt(E) ulp, fine in f64).  f32: scatter-add (the
-    prefix trick is cancellation-unsafe in single precision)."""
-    if vals.dtype == jnp.float64:
-        csum = jnp.concatenate(
-            [jnp.zeros((1,) + vals.shape[1:], vals.dtype),
-             jnp.cumsum(vals, axis=0)])
-        return csum[bounds[1:]] - csum[bounds[:-1]]
+    """Sorted segment sum (``indices_are_sorted=True`` — unsorted scatter
+    HLO can hang the remote compile and lowers poorly on TPU).
+
+    A cumsum-boundary-difference variant was tried here and measured
+    *against sorted scatter* it loses badly: f64 cumsum over (120k, 3) is
+    ~113 ms on this chip (sequential scan under f64 emulation) vs ~9 ms for
+    the sorted scatter-add.  ``bounds`` is kept in the pytree for the
+    certificate's boundary logic but unused on this path."""
     return jax.ops.segment_sum(vals, ids, num, indices_are_sorted=True)
 
 

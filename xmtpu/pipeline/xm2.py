@@ -66,9 +66,34 @@ def xm2_residuals(edges, weights, landmarks, R_real, s_real, t_est, p_est,
     return weights * np.sum(diff**2, axis=1)
 
 
+def choose_implicit(N: int, M: int, budget_bytes: int | None = None) -> bool:
+    """Operator policy: dense C vs factored SchurQ.
+
+    On this hardware the dense 3Nx3N matvec rides the MXU (~2.3 ms at
+    N=1934) while the implicit operator's per-edge gathers/scatters cost
+    ~100 ms under f64 emulation — dense wins 4x end-to-end at the BAL-1934
+    operating point (docs/PERFORMANCE.md). Implicit is for problems whose
+    dense form doesn't fit: estimated assembly footprint
+    ``(9N^2 + 2*3N(N+M)) * 8`` bytes against a budget (default 4 GB,
+    override with ``XMTPU_DENSE_BUDGET`` bytes).
+    """
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get("XMTPU_DENSE_BUDGET", 4 << 30))
+    est = (9 * N * N + 2 * 3 * N * (N + M)) * 8
+    return est > budget_bytes
+
+
 def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
                             max_time, verbose, implicit, precision,
                             rank3_probe=False):
+    if implicit == "auto":
+        N = int(np.asarray(edges)[:, 0].max())
+        M = int(np.asarray(edges)[:, 1].max())
+        implicit = choose_implicit(N, M)
+        if verbose:
+            print(f"[xm2] operator: {'SchurQ (implicit)' if implicit else 'dense C'}")
     if implicit:
         from xmtpu.ops.schurq import SchurQ
         from xmtpu.pipeline.recover import recover_XM_implicit
@@ -93,13 +118,15 @@ def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
 def xm2_solve(edges, weights, landmarks, rgbs, N, M,
               max_rank: int = 5, tol: float = 1e-1, max_time: float = 1000.0,
               relative: bool = False, percentile: float = 90.0,
-              verbose: bool = True, implicit: bool = False,
+              verbose: bool = True, implicit="auto",
               precision: str = "f64") -> XM2Result:
     """Full XM^2 pipeline on a cleaned-or-raw observation set.
 
-    ``implicit=True`` routes assembly/solve/recovery through the factored
-    SchurQ operator (no dense C or Abar — the at-scale path);
-    ``precision="mixed"`` enables the f32/f64 ladder.
+    ``implicit`` routes assembly/solve/recovery through the factored
+    SchurQ operator (no dense C or Abar — the beyond-memory path);
+    the default ``"auto"`` picks dense C while it fits
+    (:func:`choose_implicit`). ``precision="mixed"`` enables the f32/f64
+    ladder.
     """
     edges, landmarks, weights, rgbs, indices_all = checklandmarks(
         edges, landmarks, weights, rgbs, N, M)

@@ -20,6 +20,15 @@ and the result carries the same payload the reference exports to
 ``assets/tempdata/{output,filename,relative_pose}.txt``
 (global_mapper.cc:134-184) — observations (image, u, v, track), image
 names, and valid-pair relative poses — as in-memory arrays.
+
+Stages 5-8 — global positioning, bundle adjustment, retriangulation,
+pruning — exist in the reference but are commented out of the XM fork
+(global_mapper.cc:188-390). They are implemented here behind skip flags
+that default to the XM truncation (``skip_global_positioning=True`` etc.);
+flipping them runs the full upstream-GLOMAP pipeline on the TPU-native
+estimators (:mod:`xmtpu.pipeline.global_positioning`,
+:mod:`xmtpu.pipeline.bundle_adjustment`,
+:mod:`xmtpu.pipeline.triangulation`).
 """
 
 from __future__ import annotations
@@ -49,12 +58,26 @@ class GlobalMapperOptions:
     skip_relative_pose_estimation: bool = False
     skip_rotation_averaging: bool = False
     skip_track_establishment: bool = False
+    # XM truncation: stages 5-8 are disabled in the reference fork
+    # (global_mapper.cc:188-390); set False to run the full pipeline
+    skip_global_positioning: bool = True
+    skip_bundle_adjustment: bool = True
+    skip_retriangulation: bool = True
+    skip_pruning: bool = True
+    num_iteration_bundle_adjustment: int = 3   # GlobalMapperOptions default
+    num_iteration_retriangulation: int = 1
     inlier_thresholds: InlierThresholds = field(
         default_factory=InlierThresholds)
     max_rotation_error_deg: float = 10.0     # InlierThresholdOptions
+    max_angle_error_deg: float = 1.0         # types.h:20 (stage 5 filter)
+    max_reprojection_error: float = 1e-2     # types.h:21 (stage 6 filter)
+    min_triangulation_angle_deg: float = 1.0 # types.h:22
     min_num_view_per_track: int = 3          # track_establishment.h:17
     max_num_view_per_track: int = 1000000    # XM override
     calibration: CalibrationOptions | None = None
+    positioner: object | None = None         # PositionerOptions
+    bundle: object | None = None             # BundleAdjusterOptions
+    triangulator: object | None = None       # TriangulatorOptions
 
 
 class MapperResult(NamedTuple):
@@ -71,6 +94,11 @@ class MapperResult(NamedTuple):
     t_rel: np.ndarray         # (P, 3) unit translations
     focals: np.ndarray        # (C,) refined focal per camera
     n_tracks: int
+    # stage 5-8 outputs (None when the XM truncation is active)
+    R_global: np.ndarray | None = None   # (N, 3, 3) cam_from_world
+    t_global: np.ndarray | None = None   # (N, 3) cam_from_world translations
+    xyz: np.ndarray | None = None        # (n_tracks, 3); NaN = untriangulated
+    cluster_ids: np.ndarray | None = None  # (N,) stage-8 clusters
 
 
 def _with_focal(cam, f: float):
@@ -183,11 +211,13 @@ def global_mapper_solve(vg: ViewGraphData,
             vg.pairs, valid, N)
 
     # ---- 3. rotation averaging x2 as a filter (cc:77-111) ----
+    rot_result = None
     if not opts.skip_rotation_averaging:
         for it in range(2):
             sel = np.flatnonzero(valid)
-            keep, _ = filter_pairs(vg.pairs[sel], R_rel[sel], N,
-                                   max_angle_deg=opts.max_rotation_error_deg)
+            keep, rot_result = filter_pairs(
+                vg.pairs[sel], R_rel[sel], N,
+                max_angle_deg=opts.max_rotation_error_deg)
             valid[sel] &= keep
             registered, valid, n_img = vm.keep_largest_connected_component(
                 vg.pairs, valid, N)
@@ -236,8 +266,158 @@ def global_mapper_solve(vg: ViewGraphData,
         obs_track = tracks
         log(f"tracks: {n_tracks} tracks, {len(obs_image)} observations")
 
+    # ---- 5-8. full-GLOMAP stages (disabled in the XM fork, cc:188-390) ----
+    R_global = t_global = xyz = cluster_ids = None
+    run_tail = not (opts.skip_global_positioning
+                    and opts.skip_bundle_adjustment
+                    and opts.skip_retriangulation and opts.skip_pruning)
+    if run_tail and len(obs_image):
+        (obs_image, obs_xy, obs_track, R_global, t_global, xyz, focals,
+         cluster_ids, registered) = _run_tail_stages(
+            vg, opts, cameras, focals, rot_result, obs_image, obs_xy,
+            obs_track, n_tracks, registered, valid, R_rel, t_rel, log)
+
     return MapperResult(obs_image, obs_xy, obs_track, vg.image_names,
-                        registered, valid, R_rel, t_rel, focals, n_tracks)
+                        registered, valid, R_rel, t_rel, focals, n_tracks,
+                        R_global, t_global, xyz, cluster_ids)
+
+
+def _run_tail_stages(vg, opts, cameras, focals, rot_result, obs_image,
+                     obs_xy, obs_track, n_tracks, registered, pair_valid,
+                     R_rel, t_rel, log):
+    """Stages 5-8 (global_mapper.cc:188-390, the disabled upstream flow)."""
+    from .bundle_adjustment import (BundleAdjusterOptions, generic_params,
+                                    run_bundle_adjustment)
+    from .global_positioning import (PositionerOptions, global_positioning,
+                                     camera_constraints, point_constraints)
+    from .normalize import normalize_reconstruction
+    from .track_filter import filter_tracks_by_angle
+    from .triangulation import TriangulatorOptions, retriangulate
+
+    N = len(vg.image_ids)
+    cam_of = np.asarray(vg.camera_of_image, dtype=np.int64)
+    if rot_result is None:
+        raise ValueError("stages 5-8 need rotation averaging "
+                         "(skip_rotation_averaging must be False)")
+    R_glob = np.asarray(rot_result.rotations)        # (N,3,3) cam_from_world^R
+    R_c2w = np.transpose(R_glob, (0, 2, 1))
+
+    # undistorted bearings per observation, grouped by camera
+    bearings = np.zeros((len(obs_image), 3))
+    obs_cam = cam_of[obs_image]
+    for cid in np.unique(obs_cam):
+        sel = np.flatnonzero(obs_cam == cid)
+        bearings[sel] = undistorted_bearings(cameras[int(cid)], obs_xy[sel])
+
+    xyz = np.full((n_tracks, 3), np.nan)
+    t_glob = np.zeros((N, 3))
+    alive = np.ones(len(obs_image), dtype=bool)
+
+    # ---- 5. global positioning (cc:188-230) ----
+    if not opts.skip_global_positioning:
+        opt_gp = opts.positioner or PositionerOptions()
+        pt_cam, pt_tgt, pt_d, track_keep = point_constraints(
+            obs_image, obs_track, bearings, R_c2w, N,
+            opt_gp.min_num_view_per_track)
+        pv = np.flatnonzero(pair_valid)
+        cc_i, cc_j, cc_d = camera_constraints(
+            vg.pairs[pv, 0], vg.pairs[pv, 1], R_c2w, t_rel[pv])
+        # constraint selection per GlobalPositionerOptions.constraint_type
+        # (global_positioning.cc:150-171)
+        n_pt = int(track_keep.sum())
+        if opt_gp.constraint_type == "ONLY_CAMERAS":
+            out = global_positioning(cc_i, cc_j, cc_d, N, n_points=0,
+                                     opts=opt_gp)
+            centers = out["positions"]
+            # points re-estimated separately with positions fixed
+            # (cc:205-217)
+            opt_pt = PositionerOptions(**{**opt_gp.__dict__,
+                                          "constraint_type": "ONLY_POINTS",
+                                          "optimize_positions": False})
+            out = global_positioning(pt_cam, pt_tgt, pt_d, N, n_points=n_pt,
+                                     init_positions=centers, opts=opt_pt)
+            xyz[track_keep] = out["points"]
+        else:
+            if opt_gp.constraint_type == "ONLY_POINTS":
+                cam_idx, tgt_idx, d = pt_cam, pt_tgt, pt_d
+            else:  # POINTS_AND_CAMERAS(_BALANCED)
+                cam_idx = np.concatenate([pt_cam, cc_i])
+                tgt_idx = np.concatenate([pt_tgt, cc_j])
+                d = np.concatenate([pt_d, cc_d])
+            out = global_positioning(cam_idx, tgt_idx, d, N, n_points=n_pt,
+                                     opts=opt_gp)
+            centers = out["positions"]
+            xyz[track_keep] = out["points"]
+        t_glob = -np.einsum("nab,nb->na", R_glob, centers)
+        # FilterTracksByAngle (cc:219-226)
+        has_pt = track_keep[obs_track]
+        edges = np.stack([obs_image, obs_track], axis=1)
+        keep = filter_tracks_by_angle(edges[has_pt], bearings[has_pt],
+                                      R_glob, t_glob, xyz,
+                                      opts.max_angle_error_deg)
+        alive &= has_pt
+        alive[np.flatnonzero(has_pt)[~keep]] = False
+        # NormalizeReconstruction (cc:228)
+        R_glob, t_glob, xyz, _ = normalize_reconstruction(
+            R_glob, t_glob, xyz, registered=registered)
+        log(f"global positioning: {int(alive.sum())} observations, "
+            f"{int(track_keep.sum())} tracks positioned")
+
+    cam_params = np.stack([generic_params(c) for c in cameras])
+
+    # ---- 6. bundle adjustment (cc:233-322) ----
+    if not opts.skip_bundle_adjustment:
+        ba_opts = opts.bundle or BundleAdjusterOptions()
+        keep, R_glob, t_glob, xyz, cam_params = run_bundle_adjustment(
+            obs_image[alive], obs_xy[alive], obs_track[alive], R_glob,
+            t_glob, xyz, cam_params, cam_of,
+            features_undist=bearings[alive], opts=ba_opts,
+            num_iterations=opts.num_iteration_bundle_adjustment,
+            max_reprojection_error=opts.max_reprojection_error,
+            min_triangulation_angle=opts.min_triangulation_angle_deg)
+        alive[np.flatnonzero(alive)[~keep]] = False
+        focals = cam_params[:, :2].mean(axis=1)
+        log(f"bundle adjustment: {int(alive.sum())} observations kept")
+
+    # ---- 7. retriangulation (cc:324-378) ----
+    if not opts.skip_retriangulation:
+        tri_opts = opts.triangulator or TriangulatorOptions()
+        for _ in range(opts.num_iteration_retriangulation):
+            res = retriangulate(obs_image, obs_xy, obs_track, R_glob,
+                                t_glob, cam_params, cam_of, tri_opts)
+            xyz = np.where(res.valid[:, None], res.xyz, xyz)
+            alive = res.keep_obs
+            if not opts.skip_bundle_adjustment:
+                ba_opts = opts.bundle or BundleAdjusterOptions()
+                keep, R_glob, t_glob, xyz, cam_params = run_bundle_adjustment(
+                    obs_image[alive], obs_xy[alive], obs_track[alive],
+                    R_glob, t_glob, xyz, cam_params, cam_of,
+                    features_undist=bearings[alive], opts=ba_opts,
+                    num_iterations=1,
+                    max_reprojection_error=opts.max_reprojection_error,
+                    min_triangulation_angle=opts.min_triangulation_angle_deg)
+                alive[np.flatnonzero(alive)[~keep]] = False
+        log(f"retriangulation: {int(alive.sum())} observations kept")
+
+    # ---- 8. pruning (cc:380-390) ----
+    cluster_ids = None
+    if not opts.skip_pruning:
+        edges = np.stack([obs_image[alive], obs_track[alive]], axis=1)
+        cluster_ids, num = prune_from_observations(edges, N)
+        if num > 0:
+            registered = registered & (cluster_ids == 0)
+        log(f"pruning: {num} strong clusters, "
+            f"{int(registered.sum())} images kept")
+
+    obs_image, obs_xy, obs_track = (obs_image[alive], obs_xy[alive],
+                                    obs_track[alive])
+    return (obs_image, obs_xy, obs_track, R_glob, t_glob, xyz, focals,
+            cluster_ids, registered)
+
+
+def prune_from_observations(edges, n_images):
+    """Stage-8 wrapper (reconstruction_pruning.cc via manipulation)."""
+    return vm.prune_weakly_connected_images(edges, n_images)
 
 
 def export_tempdata(res: MapperResult, vg: ViewGraphData,

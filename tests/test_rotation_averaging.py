@@ -56,3 +56,44 @@ def test_outlier_pairs_flagged():
     inlier_mask = np.ones(len(pairs), bool)
     inlier_mask[outliers] = False
     assert keep[inlier_mask].mean() > 0.9
+
+
+def test_l1_dense_regression_robust():
+    """xmtpu.ops.l1 (math/l1_solver.h parity): exact recovery under 20%
+    gross outliers where least squares fails."""
+    import jax.numpy as jnp
+    from xmtpu.ops.l1 import l1_solve_dense
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(200, 10))
+    x_gt = rng.normal(size=10)
+    b = A @ x_gt
+    out = rng.choice(200, 40, replace=False)
+    b[out] += rng.normal(scale=50, size=40)
+    x_l1 = np.asarray(l1_solve_dense(A, b))
+    x_l2 = np.linalg.lstsq(A, b, rcond=None)[0]
+    assert np.abs(x_l1 - x_gt).max() < 1e-4
+    assert np.abs(x_l2 - x_gt).max() > 0.1   # sanity: L2 is off
+
+
+def test_heavy_outliers_l1_phase():
+    """30% outlier contamination: the L1 + Geman-McClure pipeline
+    (global_rotation_averaging.cc phases) still nails the inlier geometry."""
+    R_gt, pairs, R_rel, outliers = _make_problem(
+        noise=0.0, extra_edges=80, n_outliers=30, seed=7)
+    res = rotation_averaging(pairs, R_rel, len(R_gt))
+    assert _angles(res.rotations, R_gt).max() < 0.5
+    inl = np.ones(len(pairs), bool)
+    inl[outliers] = False
+    assert np.degrees(res.residual_angles[inl]).max() < 0.5
+
+
+def test_weight_types_and_mst_weights():
+    from xmtpu.pipeline.rotation_averaging import RotationEstimatorOptions
+
+    R_gt, pairs, R_rel, _ = _make_problem(noise=0.01, seed=9)
+    w = np.random.default_rng(9).integers(10, 100, len(pairs))
+    res = rotation_averaging(
+        pairs, R_rel, len(R_gt), weights=w,
+        opts=RotationEstimatorOptions(weight_type="HALF_NORM"))
+    assert _angles(res.rotations, R_gt).max() < 2.0

@@ -213,11 +213,17 @@ def global_mapper_solve(vg: ViewGraphData,
     # ---- 3. rotation averaging x2 as a filter (cc:77-111) ----
     rot_result = None
     if not opts.skip_rotation_averaging:
+        if opts.skip_relative_pose_estimation:
+            inlier_counts = np.array([len(m) for m in vg.matches],
+                                     dtype=np.float64)
         for it in range(2):
             sel = np.flatnonzero(valid)
+            # MST init weighted by inlier counts
+            # (InitializeFromMaximumSpanningTree, INLIER_NUM)
             keep, rot_result = filter_pairs(
                 vg.pairs[sel], R_rel[sel], N,
-                max_angle_deg=opts.max_rotation_error_deg)
+                max_angle_deg=opts.max_rotation_error_deg,
+                weights=inlier_counts[sel])
             valid[sel] &= keep
             registered, valid, n_img = vm.keep_largest_connected_component(
                 vg.pairs, valid, N)

@@ -132,3 +132,60 @@ def test_mapper_cli_and_tempdata_roundtrip(tmp_path):
     all_kp = np.concatenate(keypoints)
     assert exp.matches[:, 1].max() <= all_kp[:, 0].max() + 1e-3
     assert exp.matches[:, 2].max() <= all_kp[:, 1].max() + 1e-3
+
+
+def test_mapper_cli_namespaced_flags(tmp_path):
+    """The reference driver's exact glomap invocation style
+    (3_test_colmap_glomap.py:103-110 passes --image_path and
+    --TrackEstablishment.max_num_view_per_track) must work verbatim,
+    including the boost-program-options namespaced flags
+    (option_manager.cc:60-240)."""
+    from tests.test_colmap_db import _ring_scene, _write_scene_db
+
+    from xmtpu.__main__ import main
+    from xmtpu.pipeline.frontend import parse_glomap_tempdata
+
+    rng = np.random.default_rng(4)
+    f, w, h = 500.0, 640, 480
+    R, t, pts, keypoints, K = _ring_scene(rng, n_cams=6, n_pts=30)
+    db = tmp_path / "database.db"
+    _write_scene_db(db, R, t, keypoints, f, w, h)
+    out_dir = tmp_path / "tempdata"
+
+    rc = main(["mapper",
+               "--database_path", str(db),
+               "--output_path", str(out_dir),
+               "--image_path", str(tmp_path),
+               "--TrackEstablishment.max_num_view_per_track", "1000000",
+               "--TrackEstablishment.min_num_view_per_track", "3",
+               "--Thresholds.min_inlier_num", "10",
+               "--skip_view_graph_calibration", "1",
+               "--quiet"])
+    assert rc == 0
+    exp = parse_glomap_tempdata(str(out_dir))
+    assert exp.N == 6 and exp.M >= 25
+
+
+def test_mapper_cli_track_selection_cap(tmp_path):
+    """TrackEstablishment.min_num_tracks_per_view triggers the greedy
+    FindTracksForProblem selection (track_establishment.cc:152-226)."""
+    from tests.test_colmap_db import _ring_scene, _write_scene_db
+
+    from xmtpu.pipeline.colmap_db import database_to_view_graph, read_database
+    from xmtpu.pipeline.global_mapper import (GlobalMapperOptions,
+                                              global_mapper_solve)
+
+    rng = np.random.default_rng(5)
+    f, w, h = 500.0, 640, 480
+    R, t, pts, keypoints, K = _ring_scene(rng, n_cams=6, n_pts=40)
+    db = tmp_path / "database.db"
+    _write_scene_db(db, R, t, keypoints, f, w, h)
+    vg = database_to_view_graph(read_database(str(db)))
+
+    full = global_mapper_solve(vg, GlobalMapperOptions())
+    capped = global_mapper_solve(vg, GlobalMapperOptions(
+        min_num_tracks_per_view=5))
+    assert capped.n_tracks < full.n_tracks
+    # every image still covered by > min tracks (the selection goal)
+    per_img = np.bincount(capped.obs_image, minlength=6)
+    assert (per_img > 5).all()

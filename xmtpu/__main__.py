@@ -17,6 +17,110 @@ import argparse
 import sys
 
 
+def _bool(v: str) -> bool:
+    """boost::program_options-style bool values (``--skip_pruning 1``)."""
+    if str(v).lower() in ("1", "true", "yes", "on"):
+        return True
+    if str(v).lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
+# The glomap mapper's namespaced option surface
+# (deps/glomap/glomap/controllers/option_manager.cc:60-240), mapped onto the
+# xmtpu option dataclasses: (flag, type, target dataclass, field).
+_MAPPER_FLAGS = [
+    ("skip_preprocessing", _bool, "mapper", "skip_preprocessing"),
+    ("skip_view_graph_calibration", _bool, "mapper",
+     "skip_view_graph_calibration"),
+    ("skip_relative_pose_estimation", _bool, "mapper",
+     "skip_relative_pose_estimation"),
+    ("skip_rotation_averaging", _bool, "mapper", "skip_rotation_averaging"),
+    ("skip_track_establishment", _bool, "mapper", "skip_track_establishment"),
+    ("skip_global_positioning", _bool, "mapper", "skip_global_positioning"),
+    ("skip_bundle_adjustment", _bool, "mapper", "skip_bundle_adjustment"),
+    ("skip_retriangulation", _bool, "mapper", "skip_retriangulation"),
+    ("skip_pruning", _bool, "mapper", "skip_pruning"),
+    ("ba_iteration_num", int, "mapper", "num_iteration_bundle_adjustment"),
+    ("retriangulation_iteration_num", int, "mapper",
+     "num_iteration_retriangulation"),
+    ("ViewGraphCalib.thres_lower_ratio", float, "calib",
+     "thres_lower_ratio"),
+    ("ViewGraphCalib.thres_higher_ratio", float, "calib",
+     "thres_higher_ratio"),
+    ("ViewGraphCalib.thres_two_view_error", float, "calib",
+     "thres_two_view_error"),
+    # the mapper decomposes database E matrices instead of re-running
+    # poselib RANSAC, so the epipolar threshold maps to the inlier scorer
+    ("RelPoseEstimation.max_epipolar_error", float, "thresholds",
+     "max_epipolar_error_E"),
+    ("TrackEstablishment.min_num_tracks_per_view", int, "mapper",
+     "min_num_tracks_per_view"),
+    ("TrackEstablishment.min_num_view_per_track", int, "mapper",
+     "min_num_view_per_track"),
+    ("TrackEstablishment.max_num_view_per_track", int, "mapper",
+     "max_num_view_per_track"),
+    ("TrackEstablishment.max_num_tracks", int, "mapper", "max_num_tracks"),
+    ("GlobalPositioning.optimize_positions", _bool, "gp",
+     "optimize_positions"),
+    ("GlobalPositioning.optimize_points", _bool, "gp", "optimize_points"),
+    ("GlobalPositioning.optimize_scales", _bool, "gp", "optimize_scales"),
+    ("GlobalPositioning.thres_loss_function", float, "gp", "huber_delta"),
+    ("GlobalPositioning.max_num_iterations", int, "gp", "outer_iters"),
+    ("BundleAdjustment.optimize_rotations", _bool, "ba",
+     "optimize_rotations"),
+    ("BundleAdjustment.optimize_translation", _bool, "ba",
+     "optimize_translation"),
+    ("BundleAdjustment.optimize_intrinsics", _bool, "ba",
+     "optimize_intrinsics"),
+    ("BundleAdjustment.optimize_points", _bool, "ba", "optimize_points"),
+    ("BundleAdjustment.thres_loss_function", float, "ba", "huber_threshold"),
+    ("BundleAdjustment.max_num_iterations", int, "ba", "max_iterations"),
+    ("Triangulation.complete_max_reproj_error", float, "tri",
+     "tri_complete_max_reproj_error"),
+    ("Triangulation.merge_max_reproj_error", float, "tri",
+     "tri_merge_max_reproj_error"),
+    ("Triangulation.min_angle", float, "tri", "tri_min_angle"),
+    ("Triangulation.min_num_matches", int, "tri", "min_num_matches"),
+    ("Thresholds.max_epipolar_error_E", float, "thresholds",
+     "max_epipolar_error_E"),
+    ("Thresholds.min_inlier_num", int, "thresholds", "min_inlier_num"),
+    ("Thresholds.min_inlier_ratio", float, "thresholds", "min_inlier_ratio"),
+    ("Thresholds.max_rotation_error", float, "mapper",
+     "max_rotation_error_deg"),
+]
+
+
+def _mapper_options(args):
+    """Assemble GlobalMapperOptions from the parsed namespaced flags."""
+    from xmtpu.pipeline.bundle_adjustment import BundleAdjusterOptions
+    from xmtpu.pipeline.calibration import CalibrationOptions
+    from xmtpu.pipeline.global_mapper import GlobalMapperOptions
+    from xmtpu.pipeline.global_positioning import PositionerOptions
+    from xmtpu.pipeline.triangulation import TriangulatorOptions
+    from xmtpu.pipeline.viewgraph import InlierThresholds
+
+    groups = {"mapper": {}, "calib": {}, "gp": {}, "ba": {}, "tri": {},
+              "thresholds": {}}
+    for flag, _, target, field in _MAPPER_FLAGS:
+        val = getattr(args, flag, None)
+        if val is not None:
+            groups[target][field] = val
+
+    opts = GlobalMapperOptions(**groups["mapper"])
+    if groups["calib"]:
+        opts.calibration = CalibrationOptions(**groups["calib"])
+    if groups["gp"]:
+        opts.positioner = PositionerOptions(**groups["gp"])
+    if groups["ba"]:
+        opts.bundle = BundleAdjusterOptions(**groups["ba"])
+    if groups["tri"]:
+        opts.triangulator = TriangulatorOptions(**groups["tri"])
+    if groups["thresholds"]:
+        opts.inlier_thresholds = InlierThresholds(**groups["thresholds"])
+    return opts
+
+
 def _add_solver_args(p):
     p.add_argument("path", help="dataset directory containing Q.bin")
     p.add_argument("--max-rank", type=int, default=10)
@@ -47,14 +151,24 @@ def main(argv=None):
 
     p = sub.add_parser(
         "mapper", help="glomap-mapper replacement: COLMAP database.db -> "
-        "view-graph stages 0-4 -> tempdata export")
+        "view-graph stages 0-4 (optionally 5-8) -> tempdata export")
     p.add_argument("--database_path", required=True)
     p.add_argument("--output_path", required=True,
                    help="directory for output/filename/relative_pose.txt")
-    p.add_argument("--max-num-view-per-track", type=int, default=1000000)
-    p.add_argument("--min-num-view-per-track", type=int, default=3)
-    p.add_argument("--skip-view-graph-calibration", action="store_true")
+    p.add_argument("--image_path", default=None,
+                   help="accepted for glomap-CLI compatibility (unused: the "
+                   "database carries everything the mapper needs)")
     p.add_argument("--quiet", action="store_true")
+    for flag, typ, _, _ in _MAPPER_FLAGS:
+        p.add_argument("--" + flag, dest=flag, type=typ, default=None)
+    # kebab-case aliases kept from the earlier CLI
+    p.add_argument("--max-num-view-per-track", type=int, default=None,
+                   dest="TrackEstablishment.max_num_view_per_track")
+    p.add_argument("--min-num-view-per-track", type=int, default=None,
+                   dest="TrackEstablishment.min_num_view_per_track")
+    p.add_argument("--skip-view-graph-calibration", action="store_const",
+                   const=True, default=None,
+                   dest="skip_view_graph_calibration")
 
     args = parser.parse_args(argv)
 
@@ -69,15 +183,11 @@ def main(argv=None):
     if args.cmd == "mapper":
         from xmtpu.pipeline.colmap_db import (database_to_view_graph,
                                               read_database)
-        from xmtpu.pipeline.global_mapper import (GlobalMapperOptions,
-                                                  export_tempdata,
+        from xmtpu.pipeline.global_mapper import (export_tempdata,
                                                   global_mapper_solve)
         vg = database_to_view_graph(read_database(args.database_path))
-        res = global_mapper_solve(vg, GlobalMapperOptions(
-            skip_view_graph_calibration=args.skip_view_graph_calibration,
-            min_num_view_per_track=args.min_num_view_per_track,
-            max_num_view_per_track=args.max_num_view_per_track),
-            verbose=not args.quiet)
+        res = global_mapper_solve(vg, _mapper_options(args),
+                                  verbose=not args.quiet)
         export_tempdata(res, vg, args.output_path)
         print(f"mapper: {int(res.registered.sum())} images, "
               f"{res.n_tracks} tracks, {len(res.obs_image)} observations "

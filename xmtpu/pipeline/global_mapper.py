@@ -74,6 +74,11 @@ class GlobalMapperOptions:
     min_triangulation_angle_deg: float = 1.0 # types.h:22
     min_num_view_per_track: int = 3          # track_establishment.h:17
     max_num_view_per_track: int = 1000000    # XM override
+    # FindTracksForProblem caps (track_establishment.h:13-22): -1 means
+    # unlimited — the reference's int(-1) compared against unsigned counters
+    # never triggers, so the defaults select every view-bounded track
+    min_num_tracks_per_view: int = -1
+    max_num_tracks: int = 10000000
     calibration: CalibrationOptions | None = None
     positioner: object | None = None         # PositionerOptions
     bundle: object | None = None             # BundleAdjusterOptions
@@ -266,6 +271,18 @@ def global_mapper_solve(vg: ViewGraphData,
                                          tracks[keep])
         uniq, tracks = np.unique(tracks, return_inverse=True)
         n_tracks = len(uniq)
+        # FindTracksForProblem greedy coverage selection
+        # (track_establishment.cc:152-226) — active only when the caps bind
+        if (opts.min_num_tracks_per_view >= 0
+                or n_tracks > opts.max_num_tracks):
+            chosen = _select_tracks_greedy(
+                images_idx, tracks, n_tracks, N,
+                opts.min_num_tracks_per_view, opts.max_num_tracks)
+            m = chosen[tracks]
+            images_idx, feats_idx, tracks = (images_idx[m], feats_idx[m],
+                                             tracks[m])
+            uniq, tracks = np.unique(tracks, return_inverse=True)
+            n_tracks = len(uniq)
         obs_image = images_idx
         obs_xy = np.array([vg.keypoints[i][f]
                            for i, f in zip(images_idx, feats_idx)])
@@ -424,6 +441,41 @@ def _run_tail_stages(vg, opts, cameras, focals, rot_result, obs_image,
 def prune_from_observations(edges, n_images):
     """Stage-8 wrapper (reconstruction_pruning.cc via manipulation)."""
     return vm.prune_weakly_connected_images(edges, n_images)
+
+
+def _select_tracks_greedy(obs_img, obs_track, n_tracks, n_images,
+                          min_per_view: int, max_tracks: int):
+    """``FindTracksForProblem`` (track_establishment.cc:152-226): walk tracks
+    longest-first, keep a track when it still serves some image whose
+    per-view counter has not passed ``min_per_view``, stop once every image
+    is covered or ``max_tracks`` is hit. Returns a (n_tracks,) keep mask."""
+    lengths = np.bincount(obs_track, minlength=n_tracks)
+    order = np.argsort(-lengths, kind="stable")
+    sort_i = np.argsort(obs_track, kind="stable")
+    starts = np.zeros(n_tracks + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(lengths)
+
+    per_cam = np.zeros(n_images, dtype=np.int64)
+    active = np.unique(obs_img)
+    covered = 0
+    selected = np.zeros(n_tracks, dtype=bool)
+    n_selected = 0
+    for t in order:
+        if lengths[t] == 0:
+            continue
+        cams = obs_img[sort_i[starts[t]:starts[t + 1]]]
+        addable = per_cam[cams] <= min_per_view      # cc:206 gate
+        if not addable.any():
+            continue
+        np.add.at(per_cam, cams[addable], 1)
+        covered = int((per_cam[active] > min_per_view).sum())
+        selected[t] = True
+        n_selected += 1
+        if covered >= len(active):                   # cameras_left == 0
+            break
+        if n_selected > max_tracks:                  # cc:224
+            break
+    return selected
 
 
 def export_tempdata(res: MapperResult, vg: ViewGraphData,

@@ -52,10 +52,12 @@ class PositionerOptions:
     cg_iters: int = 12
     optimize_points: bool = True
     optimize_positions: bool = True
+    optimize_scales: bool = True   # GlobalPositionerOptions (h:26-28); False
+    #                                pins every per-residual scale at 1
 
 
 def _solve_bata(src, dst, d, w_fix, n_var, u0, delta, outer_iters, cg_iters,
-                free_mask):
+                free_mask, fix_scales=False):
     """Jitted IRLS + variable-projection Gauss-Newton BATA core.
 
     The per-residual scale is eliminated in closed form
@@ -94,7 +96,10 @@ def _solve_bata(src, dst, d, w_fix, n_var, u0, delta, outer_iters, cg_iters,
     def scales_resid(u):
         e = edge_diff(u)
         ee = jnp.maximum(jnp.sum(e * e, axis=1), 1e-12)
-        s = jnp.maximum(jnp.sum(d * e, axis=1) / ee, 1e-5)
+        if fix_scales:
+            s = jnp.ones(e.shape[0], e.dtype)
+        else:
+            s = jnp.maximum(jnp.sum(d * e, axis=1) / ee, 1e-5)
         r = d - s[:, None] * e
         return e, ee, s, r
 
@@ -135,10 +140,13 @@ def _solve_bata(src, dst, d, w_fix, n_var, u0, delta, outer_iters, cg_iters,
 
         step, _, _, _ = jax.lax.fori_loop(
             0, cg_iters, cg_body, (jnp.zeros_like(u), r0, p0, rs0))
-        # remove the radial (global scale) null direction of the reduced cost
-        un = project(u)
-        uu = jnp.maximum(jnp.vdot(un, un), 1e-30)
-        step = step - (jnp.vdot(step, un) / uu) * un
+        if not fix_scales:
+            # remove the radial (global scale) null direction of the reduced
+            # cost (eliminating s makes the cost scale-invariant; with fixed
+            # scales the radial direction is a real degree of freedom)
+            un = project(u)
+            uu = jnp.maximum(jnp.vdot(un, un), 1e-30)
+            step = step - (jnp.vdot(step, un) / uu) * un
 
         # monotone multi-point backtracking on the robust cost
         alphas = jnp.array([1.0, 0.5, 0.25, 0.1, 0.01])
@@ -219,12 +227,12 @@ def global_positioning(cam_idx, tgt_idx, d_obs, n_cameras, n_points=0,
     if _solve_bata_jit is None:
         _solve_bata_jit = jax.jit(_solve_bata,
                                   static_argnames=("n_var", "outer_iters",
-                                                   "cg_iters"))
+                                                   "cg_iters", "fix_scales"))
     u, s, rn, cost = _solve_bata_jit(
         jnp.asarray(cam_idx), jnp.asarray(tgt_idx), jnp.asarray(d_obs),
         jnp.asarray(weights), n_var, jnp.asarray(u0),
         float(opts.huber_delta), int(opts.outer_iters), int(opts.cg_iters),
-        jnp.asarray(free))
+        jnp.asarray(free), fix_scales=not opts.optimize_scales)
     u = np.asarray(u)
     return {"positions": u[:n_cameras], "points": u[n_cameras:],
             "scales": np.asarray(s), "residual_norms": np.asarray(rn),

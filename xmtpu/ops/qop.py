@@ -30,6 +30,12 @@ class QOperator:
     def apply(self, Y: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def diag_blocks(self):
+        """(n, 3, 3) per-camera diagonal blocks ``C_ii``, or None when the
+        operator cannot produce them cheaply (implicit factored forms).
+        Used by the trust-region solver's block-Jacobi tCG preconditioner."""
+        return None
+
     def __call__(self, Y: jax.Array) -> jax.Array:
         return self.apply(Y)
 
@@ -50,6 +56,11 @@ class DenseQ(QOperator):
 
     def apply(self, Y: jax.Array) -> jax.Array:
         return jnp.dot(self.C, Y, precision=jax.lax.Precision.HIGHEST)
+
+    def diag_blocks(self):
+        n = self.dim // 3
+        idx = jnp.arange(n)
+        return self.C.reshape(n, 3, n, 3)[idx, :, idx, :]
 
     def tree_flatten(self):
         return (self.C,), None

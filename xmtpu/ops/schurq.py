@@ -202,6 +202,13 @@ class SchurQ(QOperator):
         out = out - self._vtp(z_A, z_B)
         return out.reshape(3 * n, Y.shape[-1])
 
+    def diag_blocks(self):
+        """Approximate diagonal blocks for the tCG preconditioner: ``Q1``
+        upper-bounds ``C_ii = Q1_i - (Vtp Mbar^-1 Vtp^T)_ii`` (the correction
+        is PSD), so the block-Jacobi preconditioner built from it is
+        conservative; the exact blocks would need n factored applies."""
+        return self.Q1
+
     def recover_y(self, sR: jax.Array) -> jax.Array:
         """Optimal translations/landmarks for a solved factor: the (N+M-1, o)
         stack ``[t_1..t_{N-1}; p_0..p_{M-1}]`` = ``Abar @ sR``."""

@@ -80,6 +80,12 @@ class TRConfig:
     rdotr_min: float = 1e-15
     delta_min: float = 1e-20
     linesearch_alpha_min: float = 1e-20
+    # Block-Jacobi tCG preconditioning (xmtpu improvement over the
+    # unpreconditioned reference; Manopt-style M-norm Steihaug recurrences).
+    # Applies when the Q operator exposes diag_blocks(); the preconditioner
+    # is normalized to unit mean diagonal so the radius policy keeps the
+    # reference's scale. Trajectories differ; certified optima do not.
+    precondition: bool = True
 
     @staticmethod
     def for_dtype(dtype, **kwargs) -> "TRConfig":
@@ -119,15 +125,37 @@ class TRResult(NamedTuple):
 
 
 def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
-               cfg: TRConfig):
+               cfg: TRConfig, minv=None):
     """Steihaug truncated-CG on the trust-region subproblem.
 
     Carries the recurrence-tracked norms instead of recomputing them
     (trustregion.h:642-644).  Returns the step ``v``, the accumulated
     Hessian-times-step ``hv``, the tCG end reason and iteration count.
+
+    ``minv`` (n, 3, 3, optional) enables block-Jacobi preconditioning — an
+    xmtpu improvement over the unpreconditioned reference.  The loop then
+    runs preconditioned Steihaug with the trust region measured in the
+    preconditioner norm (Manopt-tCG recurrences: ``vdotv/vdotp/pdotp`` carry
+    M-norms, ``rdotz`` replaces ``rdotr`` in alpha/beta); the residual-floor
+    and superlinear stops still test the true residual norm.  With
+    ``minv=None`` the code path is exactly the reference's.
     """
     s = s_ex[1:]
+
+    def precond(rR, rs):
+        # frames: tangent-projected block solve; scales: identity (their
+        # metric already equalizes the 1/s^2 curvature)
+        zR = jnp.einsum("nkl,nlo->nko", minv, rR)
+        S = mf.sym3(jnp.einsum("nko,nlo->nkl", R, zR))
+        return zR - jnp.einsum("nkl,nlo->nko", S, R), rs
+
     rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
+    if minv is None:
+        zR0, zs0 = pgR, pgs
+        rdotz0 = rdotr0
+    else:
+        zR0, zs0 = precond(pgR, pgs)
+        rdotz0 = mf.inner(pgR, zR0, pgs, zs0, s)
 
     class Carry(NamedTuple):
         i: jax.Array
@@ -140,6 +168,7 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
         hvR: jax.Array
         hvs: jax.Array
         rdotr: jax.Array
+        rdotz: jax.Array
         vdotv: jax.Array
         vdotp: jax.Array
         pdotp: jax.Array
@@ -151,9 +180,9 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
         i=jnp.zeros((), jnp.int32),
         vR=jnp.zeros_like(pgR), vs=jnp.zeros_like(pgs),
         rR=pgR, rs=pgs,
-        pR=-pgR, ps=-pgs,
+        pR=-zR0, ps=-zs0,
         hvR=jnp.zeros_like(pgR), hvs=jnp.zeros_like(pgs),
-        rdotr=rdotr0, vdotv=zero, vdotp=zero, pdotp=rdotr0,
+        rdotr=rdotr0, rdotz=rdotz0, vdotv=zero, vdotp=zero, pdotp=rdotz0,
         endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
         done=jnp.asarray(False),
     )
@@ -164,7 +193,7 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
     def body(c: Carry):
         rhR, rhs = mf.rhess(qmul, R, s_ex, CsR, egR, egs, c.pR, c.ps, lam)
         pHp = mf.inner(c.pR, rhR, c.ps, rhs, s)
-        alpha = c.rdotr / pHp
+        alpha = c.rdotz / pHp
 
         small = c.rdotr < cfg.rdotr_min
         negcurv = (~small) & (alpha <= 0.0)
@@ -189,18 +218,25 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
         rs = c.rs + step_a * rhs
 
         rdotr_new = mf.inner(rR, rR, rs, rs, s)
+        if minv is None:
+            zR, zs = rR, rs
+            rdotz_new = rdotr_new
+        else:
+            zR, zs = precond(rR, rs)
+            rdotz_new = mf.inner(rR, zR, rs, zs, s)
         superlin = normal & (
             jnp.sqrt(rdotr_new) < gradnorm * jnp.minimum(gradnorm, 0.1)
         )
 
-        beta = rdotr_new / c.rdotr
-        pR = jnp.where(normal, -rR + beta * c.pR, c.pR)
-        ps = jnp.where(normal, -rs + beta * c.ps, c.ps)
+        beta = rdotz_new / c.rdotz
+        pR = jnp.where(normal, -zR + beta * c.pR, c.pR)
+        ps = jnp.where(normal, -zs + beta * c.ps, c.ps)
 
         vdotv = jnp.where(normal, c.vdotv + 2 * alpha * c.vdotp + alpha**2 * c.pdotp, c.vdotv)
         vdotp = jnp.where(normal, beta * (c.vdotp + alpha * c.pdotp), c.vdotp)
-        pdotp = jnp.where(normal, beta * beta * c.pdotp + rdotr_new, c.pdotp)
+        pdotp = jnp.where(normal, beta * beta * c.pdotp + rdotz_new, c.pdotp)
         rdotr = jnp.where(normal, rdotr_new, c.rdotr)
+        rdotz = jnp.where(normal, rdotz_new, c.rdotz)
 
         endreason = jnp.where(
             small, ER_SMALL_RDOTR,
@@ -210,13 +246,30 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
         ).astype(jnp.int32)
         done = small | to_edge | superlin
         return Carry(c.i + 1, vR, vs, rR, rs, pR, ps, hvR, hvs,
-                     rdotr, vdotv, vdotp, pdotp, endreason, done)
+                     rdotr, rdotz, vdotv, vdotp, pdotp, endreason, done)
 
     out = jax.lax.while_loop(cond, body, init)
     return out.vR, out.vs, out.hvR, out.hvs, out.endreason, out.i
 
 
-def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig) -> TRState:
+def _build_minv(Cdiag, s_ex):
+    """Block-Jacobi preconditioner for the frame blocks: the diagonal of the
+    quadratic term's Hessian is ``2 s_i^2 C_ii``; normalize to unit mean
+    diagonal (so the trust region's M-norm keeps the reference's Frobenius
+    scale) and floor with 1e-4 I to stay SPD, then invert via Cholesky
+    (no f64 LU on this platform)."""
+    M = 2.0 * (s_ex * s_ex)[:, None, None] * Cdiag
+    tr = jnp.mean(jnp.trace(M, axis1=-2, axis2=-1)) / 3.0
+    M = M / jnp.maximum(tr, jnp.asarray(1e-300, M.dtype))
+    M = M + 1e-4 * jnp.eye(3, dtype=M.dtype)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=M.dtype), M.shape)
+    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return jnp.einsum("nka,nkb->nab", Linv, Linv)
+
+
+def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
+                Cdiag=None) -> TRState:
     """One outer TR iteration (trustregion.h:452-709)."""
     s = st.s_ex[1:]
     egR, egs = mf.egrad(qmul, st.R, st.s_ex, lam)
@@ -236,9 +289,10 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig) -> TR
     def work(_):
         sR = mf.flatten(mf.scale_blocks(st.R, st.s_ex))
         CsR = mf.unflatten(2.0 * qmul(sR))
+        minv = None if Cdiag is None else _build_minv(Cdiag, st.s_ex)
         vR, vs, hvR, hvs, endreason, iters = _inner_tcg(
             qmul, st.R, st.s_ex, CsR, egR, egs, pgR, pgs, gradnorm, st.delta,
-            lam, cfg)
+            lam, cfg, minv=minv)
         total_inner = st.total_inner + iters
 
         loss_qu = (mf.inner(vR, hvR, vs, hvs, s) / 2.0
@@ -291,13 +345,15 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig) -> TR
 @partial(jax.jit, static_argnames=("cfg", "kmax"))
 def _run_chunk(Q, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
                kmax: int) -> TRState:
-    qmul = as_qop(Q).apply
+    qop = as_qop(Q)
+    qmul = qop.apply
+    Cdiag = qop.diag_blocks() if cfg.precondition else None
 
     def cond(c: TRState):
         return (~c.done) & (c.k < kmax)
 
     def body(c: TRState):
-        return _outer_step(qmul, c, lam, gradtol, delta_bar, cfg)
+        return _outer_step(qmul, c, lam, gradtol, delta_bar, cfg, Cdiag)
 
     return jax.lax.while_loop(cond, body, st)
 

@@ -99,11 +99,17 @@ def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
         from xmtpu.pipeline.recover import recover_XM_implicit
 
         Q = SchurQ.build(weights, edges, landmarks)
+        # production policy: at the pipeline's loose tolerances the implicit
+        # operator's f64-emulated edge reductions dominate; run the tCG
+        # Hessian applies in f32 (the f64 rho test guards the model) —
+        # measured 2.2x on the n=1934 testbed at identical optima
+        inner_f32 = tol >= 1e-3
         if rank3_probe:
             return solve_arrays(Q, 3, tol, lam, max_time, rank3_only=True,
-                                verbose=verbose, precision=precision), None
+                                verbose=verbose, precision=precision,
+                                inner_f32=inner_f32), None
         res = solve_arrays(Q, max_rank, tol, lam, max_time, verbose=verbose,
-                           precision=precision)
+                           precision=precision, inner_f32=inner_f32)
         return res, recover_XM_implicit(Q, res.R, res.s_ex, lam,
                                         verbose=verbose)
     C, Abar = create_matrix_arrays(weights, edges, landmarks)

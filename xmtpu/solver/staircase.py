@@ -61,8 +61,8 @@ class SolveResult(NamedTuple):
 
 
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
-           precision: str = "f64"):
-    cfg = tr.TRConfig(max_time=max_time)
+           precision: str = "f64", inner_f32: bool = False):
+    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
     if escape_dir is None:
@@ -81,7 +81,7 @@ def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
 def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  max_time: float = 1000.0, s0_ex: Optional[np.ndarray] = None,
                  rank3_only: bool = False, verbose: bool = True,
-                 precision: str = "f64",
+                 precision: str = "f64", inner_f32: bool = False,
                  checkpoint_path: Optional[str] = None,
                  resume_from: Optional[str] = None) -> SolveResult:
     """In-memory staircase solve (the reference's file-based ``solve`` without
@@ -134,7 +134,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
 
     while o <= max_rank:
         res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir, verbose,
-                     precision)
+                     precision, inner_f32)
         # one batched scalar fetch per stage
         primal_v, reason_v, outer_v, inner_v = (
             np.asarray(x) for x in jax.device_get(

@@ -86,6 +86,12 @@ class TRConfig:
     # is normalized to unit mean diagonal so the radius policy keeps the
     # reference's scale. Trajectories differ; certified optima do not.
     precondition: bool = True
+    # Run the tCG Hessian applies through an f32 cast of Q while keeping
+    # every outer-iteration quantity (objective, gradient, rho test) in f64.
+    # Inexact-Newton: the f64 rho rejection bounds the damage from f32 noise
+    # in the model; appropriate at loose tolerances (>= ~1e-3) where f64
+    # emulation dominates the implicit operator's matvec. Off by default.
+    inner_f32: bool = False
 
     @staticmethod
     def for_dtype(dtype, **kwargs) -> "TRConfig":
@@ -269,8 +275,10 @@ def _build_minv(Cdiag, s_ex):
 
 
 def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
-                Cdiag=None) -> TRState:
+                Cdiag=None, qmul_inner=None) -> TRState:
     """One outer TR iteration (trustregion.h:452-709)."""
+    if qmul_inner is None:
+        qmul_inner = qmul
     s = st.s_ex[1:]
     egR, egs = mf.egrad(qmul, st.R, st.s_ex, lam)
     pgR, pgs = mf.project(st.R, s, egR, egs)
@@ -291,8 +299,8 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         CsR = mf.unflatten(2.0 * qmul(sR))
         minv = None if Cdiag is None else _build_minv(Cdiag, st.s_ex)
         vR, vs, hvR, hvs, endreason, iters = _inner_tcg(
-            qmul, st.R, st.s_ex, CsR, egR, egs, pgR, pgs, gradnorm, st.delta,
-            lam, cfg, minv=minv)
+            qmul_inner, st.R, st.s_ex, CsR, egR, egs, pgR, pgs, gradnorm,
+            st.delta, lam, cfg, minv=minv)
         total_inner = st.total_inner + iters
 
         loss_qu = (mf.inner(vR, hvR, vs, hvs, s) / 2.0
@@ -344,16 +352,25 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "kmax"))
 def _run_chunk(Q, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
-               kmax: int) -> TRState:
+               kmax: int, Q32=None) -> TRState:
     qop = as_qop(Q)
     qmul = qop.apply
     Cdiag = qop.diag_blocks() if cfg.precondition else None
+    if Q32 is not None:
+        dt = st.R.dtype
+        q32 = as_qop(Q32)
+
+        def qmul_inner(Y):
+            return q32.apply(Y.astype(jnp.float32)).astype(dt)
+    else:
+        qmul_inner = None
 
     def cond(c: TRState):
         return (~c.done) & (c.k < kmax)
 
     def body(c: TRState):
-        return _outer_step(qmul, c, lam, gradtol, delta_bar, cfg, Cdiag)
+        return _outer_step(qmul, c, lam, gradtol, delta_bar, cfg, Cdiag,
+                           qmul_inner)
 
     return jax.lax.while_loop(cond, body, st)
 
@@ -461,6 +478,11 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
 
     st = _init_state(Q, R_cur, s_cur, lam, delta_bar_j, cfg)
 
+    Q32 = None
+    if cfg.inner_f32 and dtype == jnp.float64:
+        from xmtpu.ops.qop import cast_qop
+        Q32 = cast_qop(Q, jnp.float32)
+
     # always run in bounded chunks: a single device program spanning the whole
     # solve can run for minutes at scale and remote TPU runtimes kill
     # long-running programs (observed as 'TPU worker crashed' at n~2000 f64)
@@ -469,7 +491,7 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
     k_done = 0
     while k_done < cfg.max_outer:
         kmax = min(k_done + cfg.chunk, cfg.max_outer)
-        st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax)
+        st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax, Q32)
         # one batched host fetch per chunk (scalar fetches cost ~20ms each on
         # remote-dispatch platforms)
         k_done, done = jax.device_get((st.k, st.done))

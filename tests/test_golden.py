@@ -70,3 +70,17 @@ def test_simple2_end_to_end(simple2_data):
     # translations/landmarks finite, anchor translation 0
     np.testing.assert_allclose(t_est[:, 0], 0.0, atol=1e-10)
     assert np.isfinite(p_est).all()
+
+
+@pytest.mark.slow
+def test_simple1_mixed_certified(simple1_Q):
+    """The mixed-precision ladder (f32 bulk + f64 polish, the TPU fast path)
+    certifies SIMPLE1 at the same global optimum as pure f64 -- the
+    certificate always runs in f64, so acceptance is precision-independent."""
+    from xmtpu.solver.staircase import solve_arrays
+
+    res = solve_arrays(simple1_Q, max_rank=3, tol=1e-16, lam=0.0,
+                       max_time=1000, verbose=False, precision="mixed")
+    assert res.certified
+    np.testing.assert_allclose(res.primal, SIMPLE1_PRIMAL, rtol=1e-6)
+    assert res.gap < 1e-5

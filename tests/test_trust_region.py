@@ -146,3 +146,29 @@ def test_inner_f32_same_optimum():
                                cfg=TRConfig(inner_f32=True))
     assert abs(float(res32.primal) - float(res64.primal)) \
         <= 1e-6 * max(1.0, abs(float(res64.primal)))
+
+
+def test_stop_on_collapse_terminates_at_f32_floor(simple1_Q):
+    """The mixed ladder's f32 phase stops at the FIRST trust-radius collapse
+    (the f32 rho-noise floor) instead of grinding rejection churn down to
+    delta_min: measured on SIMPLE1, ~3800 wasted tCG iterations between the
+    first collapse and delta_min without gradnorm moving."""
+    import jax.numpy as jnp
+
+    from xmtpu.ops.qop import cast_qop
+
+    Q32 = cast_qop(jnp.asarray(simple1_Q), jnp.float32)
+    n = simple1_Q.shape[0] // 3
+    R0 = mf.identity_frames(n, 3, dtype=jnp.float32)
+    s0 = jnp.ones((n,), jnp.float32)
+    cfg_ref = tr.TRConfig.for_dtype(jnp.float32, max_inner=100)
+    cfg_stop = tr.TRConfig.for_dtype(jnp.float32, max_inner=100,
+                                     stop_on_collapse=True)
+    res_ref = tr.trust_region_solve(Q32, R0, s0, 0.0, 1e-5, cfg=cfg_ref,
+                                    dtype=jnp.float32)
+    res_stop = tr.trust_region_solve(Q32, R0, s0, 0.0, 1e-5, cfg=cfg_stop,
+                                     dtype=jnp.float32)
+    assert int(res_stop.done_reason) == tr.DONE_DELTA
+    assert int(res_stop.total_inner) < int(res_ref.total_inner)
+    # the early stop gives up no objective quality beyond f32 resolution
+    assert float(res_stop.primal) <= float(res_ref.primal) * (1 + 1e-3) + 1e-3

@@ -313,6 +313,33 @@ def _certify_core_matvec(Q_op, sR, lam, primal, v0=None, has_v0: bool = False):
     return lam_min, v, gap, dual, resid
 
 
+def finish_auto_certificate(Z, n: int, bound: float, primal_v: float,
+                            dual_v: float, psd_v: bool, lam_min_v: float,
+                            lam_min_lb_v: float, v_inv, v0=None):
+    """Host-side completion of the 'auto' dense certificate, given the
+    outputs of ``_build_z_dual_psd`` (with its scalars already fetched).
+
+    Shared by :func:`certify` and the staircase's fused stage+certificate
+    program (which runs ``_build_z_dual_psd`` inside the solve program and
+    fetches its scalars in the same batched transfer as the solver state).
+
+    Returns ``(certified, v, lam_min, gap, dual)``; device work happens only
+    on the uncertified branch (Lanczos escape on the materialized Z).
+    """
+    K = 3.0 * n
+    dual = np.float64(dual_v)
+    if psd_v:
+        # lam_min > -bound: certified by the min-eig branch; report the
+        # inverse-Lanczos-refined lam_min and the reference gap formula
+        lam_min = np.float64(lam_min_v)
+        gap = np.float64(primal_v - dual_v - K * min(0.0, lam_min_lb_v))
+        return True, v_inv, lam_min, gap, dual
+    lam_min, v, resid = _lanczos_escape(Z, v0=v0, has_v0=v0 is not None)
+    gap = primal_v - dual - K * jnp.minimum(0.0, lam_min - resid)
+    certified = (gap / primal_v < 1e-3) | (lam_min - resid > -bound)
+    return certified, v, lam_min, gap, dual
+
+
 def certify(C, sR, lam, primal, verbose: bool = False,
             method: str = "auto", v0=None) -> CertificateResult:
     """Check global optimality of the rank-o point ``sR``.
@@ -344,21 +371,9 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         psd_shift_v, dual_v, primal_v, lam_min_v, lam_min_lb_v = (
             jax.device_get((psd_shift, dual, primal, lam_min_est,
                             lam_min_lb)))
-        K = 3.0 * n
-        dual = np.float64(dual_v)
-        if bool(psd_shift_v):
-            # lam_min > -bound: certified by the min-eig branch; report the
-            # inverse-Lanczos-refined lam_min and the reference gap formula
-            lam_min = np.float64(lam_min_v)
-            gap = np.float64(primal_v - dual_v -
-                             K * min(0.0, float(lam_min_lb_v)))
-            v = v_inv            # refined extreme eigenvector (diagnostic)
-            certified = True
-        else:
-            lam_min, v, resid = _lanczos_escape(Z, v0=v0,
-                                                has_v0=v0 is not None)
-            gap = primal - dual - K * jnp.minimum(0.0, lam_min - resid)
-            certified = (gap / primal < 1e-3) | (lam_min - resid > -bound)
+        certified, v, lam_min, gap, dual = finish_auto_certificate(
+            Z, n, bound, float(primal_v), float(dual_v), bool(psd_shift_v),
+            float(lam_min_v), float(lam_min_lb_v), v_inv, v0=v0)
     else:
         if hasattr(Q, "C"):
             use_lanczos = method == "lanczos"

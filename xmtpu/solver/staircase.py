@@ -27,7 +27,9 @@ Reference-faithful details:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -58,6 +60,134 @@ class SolveResult(NamedTuple):
     lam_min: float
     outer_iters: int
     total_inner: int
+
+
+@partial(jax.jit, static_argnames=("cfg", "kmax", "cfg32", "kmax32",
+                                   "inner32"))
+def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
+                         bound, cfg: tr.TRConfig, kmax: int,
+                         C32=None, cfg32: Optional[tr.TRConfig] = None,
+                         kmax32: int = 0, inner32: bool = False):
+    """One device program: (optional f32 warm phase ->) f64 TR stage ->
+    dense-auto certificate.
+
+    On remote-dispatch platforms every program boundary costs ~20-40 ms
+    (dispatch + blocking scalar fetch); the reference pays a process+disk
+    boundary here (XM_main.cu:185-305).  Fusing the rank's solve and its
+    certificate removes three round trips from the staircase's hot path.
+
+    The certificate (Cholesky PSD probe + inverse-Lanczos refinement,
+    certificate._build_z_dual_psd) runs under ``lax.cond`` only when the TR
+    loop finished inside this program's outer-iteration budget; otherwise the
+    caller falls back to chunked continuation + separate certify, paying the
+    old round trips only on solves long enough that they don't matter.
+    """
+    from xmtpu.solver.certificate import _build_z_dual_psd
+
+    st32 = None
+    R1, s1 = R0, s_ex0
+    if cfg32 is not None:
+        f32 = jnp.float32
+        st32 = tr._init_state(C32, R0.astype(f32), s_ex0.astype(f32),
+                              lam.astype(f32), delta_bar.astype(f32), cfg32)
+        st32 = tr._run_chunk(C32, st32, lam.astype(f32),
+                             jnp.asarray(gradtol32, f32),
+                             delta_bar.astype(f32), cfg32, kmax32)
+        # f64 polish start: re-orthonormalize the f32 iterate in f64
+        R1 = mf.mgs_rows(st32.R.astype(jnp.float64))
+        s1 = st32.s_ex.astype(jnp.float64).at[0].set(1.0)
+
+    st = tr._init_state(C, R1, s1, lam, delta_bar, cfg)
+    st = tr._run_chunk(C, st, lam, gradtol, delta_bar, cfg, kmax,
+                       C32 if inner32 else None)
+    sR = mf.flatten(mf.scale_blocks(st.R, st.s_ex))
+
+    def do_cert(_):
+        return _build_z_dual_psd(C.C, sR, lam, bound)
+
+    def skip(_):
+        z = jnp.zeros((), sR.dtype)
+        return (jnp.zeros_like(C.C), z, jnp.asarray(False), z, z,
+                jnp.zeros((C.dim,), sR.dtype))
+
+    Z, dual, psd, lam_min_est, lam_min_lb, v_inv = jax.lax.cond(
+        st.done, do_cert, skip, None)
+    return st, st32, sR, Z, dual, psd, lam_min_est, lam_min_lb, v_inv
+
+
+def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
+                 precision: str, bound: float, v0,
+                 inner_f32: bool = False):
+    """Run one staircase rank through the fused stage+certificate program.
+
+    Returns ``(res, scalars, cert)`` where ``cert`` is a CertificateResult
+    when the certificate was computed in-program, or None when the stage did
+    not finish inside the fused chunk (caller certifies separately after the
+    chunked continuation).
+    """
+    from xmtpu.solver import certificate as cert_mod
+
+    n, _, o = R0.shape
+    dim = n * (3 * o - 6) + n - 1
+    delta_bar = float(np.sqrt(dim))
+    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
+    if precision == "mixed":
+        cfg32 = tr.TRConfig.for_dtype(
+            jnp.float32, max_inner=100, stop_on_collapse=True)
+        gradtol32 = max(float(gradtol), 1e-5)
+        kmax32 = cfg32.chunk
+    else:
+        cfg32, gradtol32, kmax32 = None, 0.0, 0
+
+    st, st32, sR, Z, dual, psd, lme, lmlb, v_inv = _stage_certify_fused(
+        Cq, jnp.asarray(R0, jnp.float64), jnp.asarray(s_ex0, jnp.float64),
+        jnp.asarray(lam, jnp.float64), jnp.asarray(gradtol, jnp.float64),
+        gradtol32, jnp.asarray(delta_bar, jnp.float64), bound,
+        cfg, cfg.chunk, C32q, cfg32, kmax32, inner32=inner_f32)
+
+    fetch = [st.done, st.k, st.loss, st.gradnorm, st.done_reason,
+             st.total_inner, psd, dual, lme, lmlb]
+    if st32 is not None:
+        fetch += [st32.k, st32.total_inner]
+    vals = jax.device_get(tuple(fetch))
+    (done_v, k_v, loss_v, gn_v, reason_v, inner_v,
+     psd_v, dual_v, lme_v, lmlb_v) = vals[:10]
+    k32, i32 = (int(vals[10]), int(vals[11])) if st32 is not None else (0, 0)
+
+    if not bool(done_v):
+        # stage outran the fused chunk: continue the chunked f64 loop and
+        # let the caller certify separately
+        deadline = time.monotonic() + max_time
+        res = tr.continue_chunks(Cq, st, lam, gradtol, delta_bar, cfg,
+                                 Q32=C32q if inner_f32 else None,
+                                 k_done=int(k_v), deadline=deadline)
+        if verbose:
+            print(f"[xm] rank {o}: primal={float(res.primal):.6e} "
+                  f"gradnorm={float(res.gradnorm):.3e} "
+                  f"outer={int(res.outer_iters) + k32} "
+                  f"inner={int(res.total_inner) + i32} "
+                  f"reason={int(res.done_reason)}")
+        scal = (float(res.primal), int(res.done_reason),
+                int(res.outer_iters) + k32, int(res.total_inner) + i32)
+        return res, scal, None
+
+    res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
+                      st.total_inner, st.done_reason)
+    if verbose:
+        print(f"[xm] rank {o}: primal={float(loss_v):.6e} "
+              f"gradnorm={float(gn_v):.3e} outer={int(k_v) + k32} "
+              f"inner={int(inner_v) + i32} reason={int(reason_v)}")
+    certified, v, lam_min, gap, dual_out = cert_mod.finish_auto_certificate(
+        Z, n, bound, float(loss_v), float(dual_v), bool(psd_v),
+        float(lme_v), float(lmlb_v), v_inv, v0=v0)
+    if verbose:
+        print(f"[certify] primal={float(loss_v):.6e} dual={float(dual_out):.6e} "
+              f"gap={float(gap):.3e} lam_min={float(lam_min):.3e} "
+              f"certified={bool(certified)}")
+    cert = cert_mod.CertificateResult(certified, v, lam_min, gap, dual_out,
+                                      jnp.asarray(float(loss_v)))
+    scal = (float(loss_v), int(reason_v), int(k_v) + k32, int(inner_v) + i32)
+    return res, scal, cert
 
 
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
@@ -97,21 +227,30 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
       resume_from: restore a saved staircase position (fine-grained analog of
         the reference's solve_rebuttle warm start).
     """
-    from xmtpu.ops.qop import QOperator
+    from xmtpu.ops.qop import QOperator, as_qop, cast_qop
     from xmtpu.solver.checkpoint import (StaircaseCheckpoint, load_checkpoint,
                                          save_checkpoint)
+    from xmtpu.solver.certificate import _min_eig_bound
 
     if not isinstance(C, QOperator):
         C = jnp.asarray(C, jnp.float64)
         n = C.shape[0] // 3
     else:
         n = C.dim // 3
+    Cq = as_qop(C)
+    dense = hasattr(Cq, "C")
+    C32q = (cast_qop(Cq, jnp.float32)
+            if dense and (precision == "mixed" or inner_f32) else None)
+    bound = _min_eig_bound(n)
     gradtol = float(tol)
 
     o = 3
-    R0 = mf.identity_frames(n, 3)
-    s_ex = (jnp.asarray(s0_ex, jnp.float64) if s0_ex is not None
-            else jnp.ones((n,), jnp.float64))
+    # host-side init arrays: they enter the device at the first jit call's
+    # transfer; building them with eager device ops costs ~20 ms per op on
+    # remote-dispatch platforms
+    R0 = np.broadcast_to(np.eye(3), (n, 3, 3))
+    s_ex = (np.asarray(s0_ex, np.float64) if s0_ex is not None
+            else np.ones((n,), np.float64))
     escape_dir = None
     prev_escape_v = None
 
@@ -133,13 +272,22 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     outer = inner = 0
 
     while o <= max_rank:
-        res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir, verbose,
-                     precision, inner_f32)
-        # one batched scalar fetch per stage
-        primal_v, reason_v, outer_v, inner_v = (
-            np.asarray(x) for x in jax.device_get(
-                (res.primal, res.done_reason, res.outer_iters,
-                 res.total_inner)))
+        fused_ok = (dense and escape_dir is None and not rank3_only
+                    and precision in ("f64", "mixed"))
+        cert_pre = None
+        if fused_ok:
+            res, scal, cert_pre = _stage_fused(
+                Cq, C32q, R0, s_ex, lam, gradtol, max_time, verbose,
+                precision, bound, prev_escape_v, inner_f32=inner_f32)
+            primal_v, reason_v, outer_v, inner_v = scal
+        else:
+            res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir,
+                         verbose, precision, inner_f32)
+            # one batched scalar fetch per stage
+            primal_v, reason_v, outer_v, inner_v = (
+                np.asarray(x) for x in jax.device_get(
+                    (res.primal, res.done_reason, res.outer_iters,
+                     res.total_inner)))
         outer += int(outer_v)
         inner += int(inner_v)
 
@@ -155,9 +303,12 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             status = STATUS_MAX_RANK
             break
 
-        sR = _scaled_factor(R_cur, s_cur)
-        cert = certify(C, sR, lam, res.primal, verbose=verbose,
-                       v0=prev_escape_v)
+        if cert_pre is not None:
+            cert = cert_pre
+        else:
+            sR = _scaled_factor(R_cur, s_cur)
+            cert = certify(C, sR, lam, res.primal, verbose=verbose,
+                           v0=prev_escape_v)
         certified_v, gap_v, lam_min_v = jax.device_get(
             (cert.certified, cert.gap, cert.lam_min))
         gap, lam_min = float(gap_v), float(lam_min_v)
@@ -184,7 +335,10 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             status = STATUS_MAX_RANK
             break
 
-    R_flat, s_host = jax.device_get((_flat_factor(R_cur), s_cur))
+    # flatten on the host: (n,3,o) -> (3n,o) is a reshape, not worth a
+    # device program + extra round trip on remote-dispatch platforms
+    R_host, s_host = jax.device_get((R_cur, s_cur))
+    R_flat = np.asarray(R_host).reshape(-1, R_host.shape[-1])
     return SolveResult(
         R=np.asarray(R_flat),
         s_ex=np.asarray(s_host),

@@ -86,6 +86,14 @@ class TRConfig:
     # is normalized to unit mean diagonal so the radius policy keeps the
     # reference's scale. Trajectories differ; certified optima do not.
     precondition: bool = True
+    # Stop the outer loop at the FIRST trust-radius collapse (shrink streak
+    # > 3) instead of continuing with delta *= 1e-3 until delta_min.  Used
+    # by the mixed ladder's f32 phase: a collapse there means the f32 noise
+    # floor was hit — rho is dominated by rounding, every further outer
+    # iteration is rejection churn (measured: SIMPLE1's f32 phase burns
+    # ~3800 extra tCG iterations between first collapse and delta_min
+    # without moving gradnorm).  Off (reference semantics) by default.
+    stop_on_collapse: bool = False
     # Run the tCG Hessian applies through an f32 cast of Q while keeping
     # every outer-iteration quantity (objective, gradient, rho test) in f64.
     # Inexact-Newton: the f64 rho rejection bounds the damage from f32 noise
@@ -320,7 +328,8 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         collapse = shrink_count > 3
         delta = jnp.where(collapse, delta * 1e-3, delta)
         shrink_count = jnp.where(collapse, 0, shrink_count)
-        delta_dead = collapse & (delta < cfg.delta_min)
+        delta_dead = (collapse if cfg.stop_on_collapse
+                      else collapse & (delta < cfg.delta_min))
 
         # rejection keeps the previous iterate (trustregion.h:702-708); the
         # delta-collapse break in the reference skips the rejection check, so
@@ -483,17 +492,31 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
         from xmtpu.ops.qop import cast_qop
         Q32 = cast_qop(Q, jnp.float32)
 
-    # always run in bounded chunks: a single device program spanning the whole
-    # solve can run for minutes at scale and remote TPU runtimes kill
-    # long-running programs (observed as 'TPU worker crashed' at n~2000 f64)
     deadline = time.monotonic() + cfg.max_time
+    return continue_chunks(Q, st, lam, gradtol, delta_bar_j, cfg,
+                           Q32=Q32, k_done=0, deadline=deadline)
+
+
+def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
+                    cfg: TRConfig, Q32=None, k_done: int = 0,
+                    deadline: float = float("inf")) -> TRResult:
+    """Drive the chunked outer loop from an existing ``TRState`` until done,
+    ``max_outer``, or the wall-clock deadline.
+
+    Runs in bounded chunks: a single device program spanning the whole solve
+    can run for minutes at scale and remote TPU runtimes kill long-running
+    programs (observed as 'TPU worker crashed' at n~2000 f64).  One batched
+    host fetch per chunk (scalar fetches cost ~20 ms each on remote-dispatch
+    platforms).
+    """
+    lam = jnp.asarray(lam, st.R.dtype)
+    gradtol = jnp.asarray(gradtol, st.R.dtype)
+    delta_bar_j = jnp.asarray(delta_bar_j, st.R.dtype)
     timed_out = False
-    k_done = 0
-    while k_done < cfg.max_outer:
+    done = False
+    while (not done) and k_done < cfg.max_outer:
         kmax = min(k_done + cfg.chunk, cfg.max_outer)
         st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax, Q32)
-        # one batched host fetch per chunk (scalar fetches cost ~20ms each on
-        # remote-dispatch platforms)
         k_done, done = jax.device_get((st.k, st.done))
         if bool(done):
             break
@@ -541,13 +564,19 @@ def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
             return res_ls
         R0, s_ex0 = res_ls.R, res_ls.s_ex
 
+    # f32 phase caps: stop at the first trust-radius collapse (the f32 noise
+    # floor — further outers are rejection churn), bound tCG runs (f32
+    # recurrence noise can keep the superlinear stop out of reach), and floor
+    # the gradient tolerance at what f32 can resolve.
     cfg32 = TRConfig.for_dtype(
-        jnp.float32, max_outer=cfg.max_outer, max_inner=cfg.max_inner,
-        max_time=cfg.max_time, chunk=cfg.chunk)
+        jnp.float32, max_outer=cfg.max_outer,
+        max_inner=min(cfg.max_inner, 100),
+        max_time=cfg.max_time, chunk=cfg.chunk, stop_on_collapse=True)
     Q32 = cast_qop(Q, jnp.float32)
     res32 = trust_region_solve(Q32, R0.astype(jnp.float32),
                                s_ex0.astype(jnp.float32), lam,
-                               gradtol, cfg=cfg32, dtype=jnp.float32)
+                               max(float(gradtol), 1e-5),
+                               cfg=cfg32, dtype=jnp.float32)
 
     # f64 polish from the f32 iterate (re-orthonormalize in f64 first)
     R1 = mf.mgs_rows(res32.R.astype(jnp.float64))

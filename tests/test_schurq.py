@@ -116,3 +116,28 @@ def test_choose_implicit_policy():
     assert not choose_implicit(1934, 8000)       # BAL-1934: dense wins
     assert choose_implicit(20000, 100000)        # far beyond the budget
     assert choose_implicit(1934, 8000, budget_bytes=10 << 20)
+
+
+def test_chunked_build_matches_slab():
+    """The landmark-chunked VT-Gram accumulation (the beyond-memory build
+    path for Rome-scale M) produces the same operator as the (N, M) slab."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.pipeline.synthetic import make_scene
+
+    scene = make_scene(n_cameras=25, n_points=90, obs_per_camera=30,
+                       noise=1e-3, seed=3)
+    Q_slab = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                          landmark_chunk=0)
+    Q_chunk = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                           landmark_chunk=17)  # deliberately ragged
+    np.testing.assert_allclose(np.asarray(Q_chunk.VT_inv),
+                               np.asarray(Q_slab.VT_inv), rtol=1e-10,
+                               atol=1e-12)
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.standard_normal((Q_slab.dim, 3)))
+    np.testing.assert_allclose(np.asarray(Q_chunk.apply(Y)),
+                               np.asarray(Q_slab.apply(Y)), rtol=1e-10,
+                               atol=1e-10)

@@ -31,9 +31,12 @@ The same factorization recovers translations/landmarks
 (``recover_y(sR) = -Mbar^{-1} Vtp_bar^T sR``), replacing the dense
 (N+M-1) x 3N ``Abar`` operator (recoversolution.py:75-85 equivalent).
 
-Setup materializes an (N, M) ``V3F`` slab once to form VT's Gram on the MXU;
-a landmark-chunked accumulation would drop that transient at extreme scale
-(follow-up).
+Setup forms VT's Gram on the MXU.  Below ``_SLAB_BUDGET_BYTES`` it
+materializes one (N, M) ``V3F`` slab; beyond that (Rome-scale: N ~ 10^4
+cameras, M ~ 10^6 landmarks would need an 80+ GB transient) the build
+accumulates the Gram over landmark chunks — K reuses of ONE compiled
+(N, chunk) scatter+GEMM program with edges padded to the largest chunk, so
+memory is O(N * chunk) and the remote compiler sees a single HLO.
 """
 
 from __future__ import annotations
@@ -117,8 +120,15 @@ class SchurQ(QOperator):
         return cls(*children)
 
     @staticmethod
-    def build(weights, edges, landmarks) -> "SchurQ":
-        """From the same inputs as ``create_matrix`` (1-based edges)."""
+    def build(weights, edges, landmarks,
+              landmark_chunk: "int | None" = None) -> "SchurQ":
+        """From the same inputs as ``create_matrix`` (1-based edges).
+
+        ``landmark_chunk``: accumulate VT's Gram over landmark chunks of this
+        width instead of one (N, M) slab.  Default ``None`` picks
+        automatically: the slab while it fits ``_SLAB_BUDGET_BYTES``, chunked
+        beyond (the beyond-memory build path).  Pass ``0`` to force the slab.
+        """
         edges = np.asarray(edges)
         w = np.asarray(weights, np.float64).ravel()
         x = np.asarray(landmarks, np.float64)
@@ -131,6 +141,13 @@ class SchurQ(QOperator):
         ord_f = np.lexsort((l, f))
         bounds_l = np.searchsorted(l[ord_l], np.arange(M + 1)).astype(np.int32)
         bounds_f = np.searchsorted(f[ord_f], np.arange(N + 1)).astype(np.int32)
+
+        if landmark_chunk is None and N * M * 8 > _SLAB_BUDGET_BYTES:
+            landmark_chunk = max(1024, _SLAB_BUDGET_BYTES // (8 * N))
+        vt_gram = None
+        if landmark_chunk and landmark_chunk < M:
+            vt_gram = _vt_gram_chunked(w, f, l, ord_l, bounds_l, N, M,
+                                       int(landmark_chunk))
         return _build_schurq(
             jnp.asarray(w), jnp.asarray(x),
             jnp.asarray(f[ord_l], jnp.int32), jnp.asarray(l[ord_l], jnp.int32),
@@ -138,7 +155,7 @@ class SchurQ(QOperator):
             jnp.asarray(f[ord_f], jnp.int32), jnp.asarray(l[ord_f], jnp.int32),
             jnp.asarray(ord_f, jnp.int32),
             jnp.asarray(bounds_l), jnp.asarray(bounds_f),
-            N, M)
+            N, M, vt_gram=vt_gram, use_gram=vt_gram is not None)
 
     @property
     def n_cameras(self) -> int:
@@ -219,9 +236,56 @@ class SchurQ(QOperator):
         return jnp.concatenate([-z_A, -z_B], axis=0)
 
 
-@partial(jax.jit, static_argnames=("N", "M"))
+# above this (N * M * 8 bytes) the build switches from one (N, M) V3F slab
+# to landmark-chunked Gram accumulation (~4 GB default, same order as the
+# dense-C assembly budget in xm2.choose_implicit)
+_SLAB_BUDGET_BYTES = 4 << 30
+
+
+@partial(jax.jit, static_argnames=("N", "mc"))
+def _vt_chunk_gram(f_idx, l_off, coef, N: int, mc: int):
+    """One landmark chunk's Gram contribution: scatter the chunk's V3F
+    coefficients into an (N, mc) slab and multiply on the MXU.  Padded lanes
+    carry ``coef == 0`` so they add nothing."""
+    slab = jnp.zeros((N, mc), coef.dtype).at[f_idx, l_off].add(coef)
+    return jnp.dot(slab, slab.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def _vt_gram_chunked(w, f, l, ord_l, bounds_l, N: int, M: int,
+                     mc: int) -> jax.Array:
+    """Accumulate ``V3F_full @ V3F_full.T`` (camera-0 row included) over
+    landmark chunks of width ``mc``.
+
+    Host-side prep (numpy): per-chunk edge ranges from the landmark-sorted
+    boundaries, padded to the largest chunk so every chunk reuses ONE
+    compiled scatter+GEMM program.  Device memory: O(N * mc).
+    """
+    q3h = np.bincount(l, weights=w, minlength=M)
+    fs, ls, ws = f[ord_l], l[ord_l], w[ord_l]
+    cf = (ws / np.sqrt(q3h[ls])) * (fs > 0)
+
+    starts = np.asarray(bounds_l[0:M:mc], np.int64)
+    ends = np.asarray(bounds_l[np.minimum(np.arange(0, M, mc) + mc, M)],
+                      np.int64)
+    emax = int((ends - starts).max())
+    gram = jnp.zeros((N, N), jnp.float64)
+    for k, (e0, e1) in enumerate(zip(starts, ends)):
+        cnt = int(e1 - e0)
+        fi = np.zeros(emax, np.int32)
+        lo = np.zeros(emax, np.int32)
+        co = np.zeros(emax, np.float64)
+        fi[:cnt] = fs[e0:e1]
+        lo[:cnt] = ls[e0:e1] - k * mc
+        co[:cnt] = cf[e0:e1]
+        gram = gram + _vt_chunk_gram(jnp.asarray(fi), jnp.asarray(lo),
+                                     jnp.asarray(co), N, mc)
+    return gram
+
+
+@partial(jax.jit, static_argnames=("N", "M", "use_gram"))
 def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, bounds_l, bounds_f,
-                  N: int, M: int) -> SchurQ:
+                  N: int, M: int, vt_gram=None, use_gram: bool = False
+                  ) -> SchurQ:
     wx = w[:, None] * x
     q2 = _seg_sum(w[ord_f], f_f, N)
     q3 = _seg_sum(w[ord_l], l_l, M)
@@ -232,8 +296,12 @@ def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, bounds_l, bounds_f,
 
     cf_l = w[ord_l] * inv_sqrt_q3[l_l] * (f_l > 0)
     cf_f = w[ord_f] * inv_sqrt_q3[l_f] * (f_f > 0)
-    V3F = jnp.zeros((N, M), w.dtype).at[f_f, l_f].add(cf_f)[1:]
-    VT = jnp.diag(q2[1:]) - V3F @ V3F.T
+    if use_gram:
+        gram = vt_gram[1:, 1:]
+    else:
+        V3F = jnp.zeros((N, M), w.dtype).at[f_f, l_f].add(cf_f)[1:]
+        gram = V3F @ V3F.T
+    VT = jnp.diag(q2[1:]) - gram
     VT_chol = jnp.linalg.cholesky(VT)
     VT_inv = jax.scipy.linalg.cho_solve(
         (VT_chol, True), jnp.eye(N - 1, dtype=w.dtype))

@@ -1,14 +1,23 @@
 """Example 1: solver-only on a prebuilt Q matrix (reference 1_test_solve.py).
 
 Reads ``Q.bin`` from the SIMPLE1 fixture, runs the certified rank-staircase
-solve, writes ``R.bin``/``s.bin`` back.
+solve, writes ``R.bin``/``s.bin`` next to it.  With no argument the fixture
+is staged into a local working directory first (the reference assets mount
+is read-only).
 """
 
+import os
+import shutil
 import sys
 
 import xmtpu
 
-dataset_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/assets/SIMPLE1"
+if len(sys.argv) > 1:
+    dataset_path = sys.argv[1]
+else:
+    dataset_path = os.path.join("assets_work", "SIMPLE1")
+    os.makedirs(dataset_path, exist_ok=True)
+    shutil.copy("/root/reference/assets/SIMPLE1/Q.bin", dataset_path)
 
 result = xmtpu.solve(dataset_path, max_rank=3, tol=1e-16, lam=0.0, max_time=1000)
 print(f"status={result.status} certified={result.certified} "

@@ -63,11 +63,12 @@ class SolveResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "kmax", "cfg32", "kmax32",
-                                   "inner32"))
+                                   "inner32", "with_cert"))
 def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
                          bound, cfg: tr.TRConfig, kmax: int,
                          C32=None, cfg32: Optional[tr.TRConfig] = None,
-                         kmax32: int = 0, inner32: bool = False):
+                         kmax32: int = 0, inner32: bool = False,
+                         with_cert: bool = True):
     """One device program: (optional f32 warm phase ->) f64 TR stage ->
     dense-auto certificate.
 
@@ -110,6 +111,10 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
         return (jnp.zeros_like(C.C), z, jnp.asarray(False), z, z,
                 jnp.zeros((C.dim,), sR.dtype))
 
+    if not with_cert:
+        # rank3_only probes (xm2's adaptive-lambda path) never certify;
+        # omitting the cond keeps the certificate graph out of the compile
+        return st, st32, sR, None, None, None, None, None, None
     Z, dual, psd, lam_min_est, lam_min_lb, v_inv = jax.lax.cond(
         st.done, do_cert, skip, None)
     return st, st32, sR, Z, dual, psd, lam_min_est, lam_min_lb, v_inv
@@ -117,7 +122,7 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
 
 def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
                  precision: str, bound: float, v0,
-                 inner_f32: bool = False):
+                 inner_f32: bool = False, with_cert: bool = True):
     """Run one staircase rank through the fused stage+certificate program.
 
     Returns ``(res, scalars, cert)`` where ``cert`` is a CertificateResult
@@ -143,16 +148,23 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
         Cq, jnp.asarray(R0, jnp.float64), jnp.asarray(s_ex0, jnp.float64),
         jnp.asarray(lam, jnp.float64), jnp.asarray(gradtol, jnp.float64),
         gradtol32, jnp.asarray(delta_bar, jnp.float64), bound,
-        cfg, cfg.chunk, C32q, cfg32, kmax32, inner32=inner_f32)
+        cfg, cfg.chunk, C32q, cfg32, kmax32, inner32=inner_f32,
+        with_cert=with_cert)
 
     fetch = [st.done, st.k, st.loss, st.gradnorm, st.done_reason,
-             st.total_inner, psd, dual, lme, lmlb]
+             st.total_inner]
+    if with_cert:
+        fetch += [psd, dual, lme, lmlb]
     if st32 is not None:
         fetch += [st32.k, st32.total_inner]
     vals = jax.device_get(tuple(fetch))
-    (done_v, k_v, loss_v, gn_v, reason_v, inner_v,
-     psd_v, dual_v, lme_v, lmlb_v) = vals[:10]
-    k32, i32 = (int(vals[10]), int(vals[11])) if st32 is not None else (0, 0)
+    done_v, k_v, loss_v, gn_v, reason_v, inner_v = vals[:6]
+    if with_cert:
+        psd_v, dual_v, lme_v, lmlb_v = vals[6:10]
+        rest = vals[10:]
+    else:
+        rest = vals[6:]
+    k32, i32 = (int(rest[0]), int(rest[1])) if st32 is not None else (0, 0)
 
     if not bool(done_v):
         # stage outran the fused chunk: continue the chunked f64 loop and
@@ -177,6 +189,9 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
         print(f"[xm] rank {o}: primal={float(loss_v):.6e} "
               f"gradnorm={float(gn_v):.3e} outer={int(k_v) + k32} "
               f"inner={int(inner_v) + i32} reason={int(reason_v)}")
+    scal = (float(loss_v), int(reason_v), int(k_v) + k32, int(inner_v) + i32)
+    if not with_cert:
+        return res, scal, None
     certified, v, lam_min, gap, dual_out = cert_mod.finish_auto_certificate(
         Z, n, bound, float(loss_v), float(dual_v), bool(psd_v),
         float(lme_v), float(lmlb_v), v_inv, v0=v0)
@@ -186,7 +201,6 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
               f"certified={bool(certified)}")
     cert = cert_mod.CertificateResult(certified, v, lam_min, gap, dual_out,
                                       jnp.asarray(float(loss_v)))
-    scal = (float(loss_v), int(reason_v), int(k_v) + k32, int(inner_v) + i32)
     return res, scal, cert
 
 
@@ -272,13 +286,14 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     outer = inner = 0
 
     while o <= max_rank:
-        fused_ok = (dense and escape_dir is None and not rank3_only
+        fused_ok = (dense and escape_dir is None
                     and precision in ("f64", "mixed"))
         cert_pre = None
         if fused_ok:
             res, scal, cert_pre = _stage_fused(
                 Cq, C32q, R0, s_ex, lam, gradtol, max_time, verbose,
-                precision, bound, prev_escape_v, inner_f32=inner_f32)
+                precision, bound, prev_escape_v, inner_f32=inner_f32,
+                with_cert=not rank3_only)
             primal_v, reason_v, outer_v, inner_v = scal
         else:
             res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir,

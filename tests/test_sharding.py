@@ -56,3 +56,22 @@ def test_sharding_layout(problem):
     assert Cs.sharding.spec == jax.sharding.PartitionSpec("cam", None)
     assert not Cs.is_fully_replicated
     assert Rs.sharding.spec[0] == "cam"
+
+
+def test_sharded_staircase_certifies(problem):
+    """The full certified staircase (fused stage+certificate program) runs
+    under GSPMD with the cost matrix row-sharded over the 8-device mesh and
+    reproduces the single-device certified optimum."""
+    from xmtpu.parallel.mesh import solve_arrays_sharded
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C = problem
+    res_single = solve_arrays(C, max_rank=4, tol=1e-8, lam=0.0,
+                              verbose=False)
+    mesh = make_mesh(8)
+    res_shard = solve_arrays_sharded(mesh, C, max_rank=4, tol=1e-8, lam=0.0,
+                                     verbose=False)
+    assert res_shard.certified == res_single.certified
+    np.testing.assert_allclose(res_shard.primal, res_single.primal,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res_shard.s_ex, res_single.s_ex, rtol=1e-6)

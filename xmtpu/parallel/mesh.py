@@ -99,3 +99,19 @@ def solve_sharded(mesh: Mesh, C, R0, s_ex0, lam=0.0, gradtol=1e-6,
     C, R0, s_ex0 = shard_problem(mesh, C, R0, s_ex0, axis)
     return tr.trust_region_solve(C, R0, s_ex0, lam=lam, gradtol=gradtol,
                                  cfg=cfg)
+
+
+def solve_arrays_sharded(mesh: Mesh, C, axis: str = "cam", **kwargs):
+    """Full certified staircase (``solve_arrays``) with the cost matrix
+    row-sharded by camera block over the mesh.
+
+    The staircase's fused stage+certificate program then runs under GSPMD:
+    the hot GEMMs row-panel over the mesh with psum'd reductions; the
+    certificate's batched dual solves shard along cameras.  Results are
+    bitwise-independent of the mesh size (tests/test_sharding.py).
+    """
+    from xmtpu.solver.staircase import solve_arrays
+
+    C = jax.device_put(jnp.asarray(C, jnp.float64),
+                       NamedSharding(mesh, P(axis, None)))
+    return solve_arrays(C, **kwargs)

@@ -243,12 +243,15 @@ _SLAB_BUDGET_BYTES = 4 << 30
 
 
 @partial(jax.jit, static_argnames=("N", "mc"))
-def _vt_chunk_gram(f_idx, l_off, coef, N: int, mc: int):
-    """One landmark chunk's Gram contribution: scatter the chunk's V3F
-    coefficients into an (N, mc) slab and multiply on the MXU.  Padded lanes
-    carry ``coef == 0`` so they add nothing."""
-    slab = jnp.zeros((N, mc), coef.dtype).at[f_idx, l_off].add(coef)
-    return jnp.dot(slab, slab.T, precision=jax.lax.Precision.HIGHEST)
+def _vt_chunk_gram(lin_idx, coef, N: int, mc: int):
+    """One landmark chunk's Gram contribution: build the chunk's (mc, N)
+    V3F^T slab by a SORTED flat segment-sum (unsorted scatter HLO hangs the
+    remote compiler — CLAUDE.md rule 6; ``lin_idx = l_off * N + f`` is
+    monotone in the landmark-sorted edge order, padding pinned to the last
+    slot with zero coefficient) and multiply on the MXU."""
+    slab = jax.ops.segment_sum(coef, lin_idx, mc * N,
+                               indices_are_sorted=True).reshape(mc, N)
+    return jnp.dot(slab.T, slab, precision=jax.lax.Precision.HIGHEST)
 
 
 def _vt_gram_chunked(w, f, l, ord_l, bounds_l, N: int, M: int,
@@ -271,14 +274,13 @@ def _vt_gram_chunked(w, f, l, ord_l, bounds_l, N: int, M: int,
     gram = jnp.zeros((N, N), jnp.float64)
     for k, (e0, e1) in enumerate(zip(starts, ends)):
         cnt = int(e1 - e0)
-        fi = np.zeros(emax, np.int32)
-        lo = np.zeros(emax, np.int32)
+        # flat (l_off, f) index, monotone in the l-sorted edge order; padded
+        # lanes pinned to the LAST slot (keeps sortedness) with coef 0
+        li = np.full(emax, mc * N - 1, np.int32)
         co = np.zeros(emax, np.float64)
-        fi[:cnt] = fs[e0:e1]
-        lo[:cnt] = ls[e0:e1] - k * mc
+        li[:cnt] = (ls[e0:e1] - k * mc) * N + fs[e0:e1]
         co[:cnt] = cf[e0:e1]
-        gram = gram + _vt_chunk_gram(jnp.asarray(fi), jnp.asarray(lo),
-                                     jnp.asarray(co), N, mc)
+        gram = gram + _vt_chunk_gram(jnp.asarray(li), jnp.asarray(co), N, mc)
     return gram
 
 
@@ -299,7 +301,12 @@ def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, bounds_l, bounds_f,
     if use_gram:
         gram = vt_gram[1:, 1:]
     else:
-        V3F = jnp.zeros((N, M), w.dtype).at[f_f, l_f].add(cf_f)[1:]
+        # SORTED flat segment-sum (f-sorted edges make f*M+l monotone);
+        # unsorted scatter HLO hangs the remote compiler (CLAUDE.md rule 6)
+        flat = jax.ops.segment_sum(
+            cf_f, f_f.astype(jnp.int64) * M + l_f, N * M,
+            indices_are_sorted=True)
+        V3F = flat.reshape(N, M)[1:]
         gram = V3F @ V3F.T
     VT = jnp.diag(q2[1:]) - gram
     VT_chol = jnp.linalg.cholesky(VT)

@@ -101,3 +101,55 @@ def test_lanczos_certificate_matches_eigh(solved_problem):
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(float(c1.gap), float(c2.gap),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_fused_stage_escape_descends(solved_problem):
+    """The staircase's fused program (escape linesearch -> TR -> certificate
+    in ONE device computation) reproduces the separate-program escape: the
+    grown-rank solve decreases the objective and the in-program certificate
+    fires."""
+    from xmtpu.ops.qop import as_qop
+    from xmtpu.solver import staircase as sc
+
+    C, res = solved_problem
+    n = np.asarray(res.R).shape[0]
+    rng = np.random.default_rng(5)
+    R_bad = mf.mgs_rows(jnp.asarray(rng.normal(size=(n, 3, 3))))
+    s_bad = jnp.ones((n,))
+    sR = mf.flatten(mf.scale_blocks(R_bad, s_bad))
+    qmul = lambda Y: jnp.asarray(C) @ Y
+    primal_bad = float(mf.objective(qmul, R_bad, s_bad, 0.0))
+    cert0 = certify(jnp.asarray(C), sR, 0.0, primal_bad)
+    assert not bool(cert0.certified)
+
+    R_grown = jnp.concatenate([R_bad, jnp.zeros((n, 3, 1))], axis=2)
+    v_scaled = (np.asarray(cert0.v).reshape(n, 3)
+                / np.asarray(s_bad)[:, None]).reshape(-1)
+    res4, scal, cert = sc._stage_fused(
+        as_qop(jnp.asarray(C)), None, R_grown, s_bad, 0.0, 1e-8, 1000.0,
+        False, "f64", 1e-4, None, escape_dir=v_scaled, linesearch_step=1.0)
+    primal_v, reason_v, _, _ = scal
+    assert reason_v != tr.DONE_LINESEARCH_FAIL
+    assert primal_v < primal_bad
+    assert cert is not None
+
+
+def test_fused_stage_escape_abort(solved_problem):
+    """A zero escape direction cannot decrease the objective: the fused
+    program must reproduce the reference's linesearch abort (primal = -1,
+    DONE_LINESEARCH_FAIL) without running the TR stage."""
+    from xmtpu.ops.qop import as_qop
+    from xmtpu.solver import staircase as sc
+
+    C, res = solved_problem
+    n = np.asarray(res.R).shape[0]
+    R_grown = jnp.concatenate([jnp.asarray(res.R).reshape(n, 3, 3),
+                               jnp.zeros((n, 3, 1))], axis=2)
+    res4, scal, cert = sc._stage_fused(
+        as_qop(jnp.asarray(C)), None, R_grown, res.s_ex, 0.0, 1e-8, 1000.0,
+        False, "f64", 1e-4, None,
+        escape_dir=np.zeros(3 * n), linesearch_step=1.0)
+    primal_v, reason_v, _, _ = scal
+    assert reason_v == tr.DONE_LINESEARCH_FAIL
+    assert primal_v == -1.0
+    assert cert is None

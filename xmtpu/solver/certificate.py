@@ -215,8 +215,11 @@ def _build_z_dual_psd(C, sR, lam, shift):
     Ainv = jsl.cho_solve((Lsafe, True), eye)
     Ainv = 0.5 * (Ainv + Ainv.T)
 
+    # the inverse maps Z's near-zero cluster to its *top*, extremely
+    # separated end: 16 iterations already reach resid ~3e-12 on SIMPLE1
+    # (measured; 24 leaves margin), vs 96 for Lanczos on Z itself
     theta_neg, v, resid = lanczos_min_eig(lambda x: -(Ainv @ x), Z.shape[0],
-                                          num_iters=48)
+                                          num_iters=24)
     theta = -theta_neg                      # = lambda_max((Z + shift I)^-1)
     # one-sided bounds on lam_min(Z) from the Ritz interval
     lam_min_est = 1.0 / theta - shift

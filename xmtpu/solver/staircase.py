@@ -63,12 +63,13 @@ class SolveResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "kmax", "cfg32", "kmax32",
-                                   "inner32", "with_cert"))
+                                   "inner32", "with_cert", "with_escape"))
 def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
                          bound, cfg: tr.TRConfig, kmax: int,
                          C32=None, cfg32: Optional[tr.TRConfig] = None,
                          kmax32: int = 0, inner32: bool = False,
-                         with_cert: bool = True):
+                         with_cert: bool = True, with_escape: bool = False,
+                         esc_v=None, step0=1.0):
     """One device program: (optional f32 warm phase ->) f64 TR stage ->
     dense-auto certificate.
 
@@ -85,22 +86,60 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
     """
     from xmtpu.solver.certificate import _build_z_dual_psd
 
-    st32 = None
-    R1, s1 = R0, s_ex0
-    if cfg32 is not None:
-        f32 = jnp.float32
-        st32 = tr._init_state(C32, R0.astype(f32), s_ex0.astype(f32),
-                              lam.astype(f32), delta_bar.astype(f32), cfg32)
-        st32 = tr._run_chunk(C32, st32, lam.astype(f32),
-                             jnp.asarray(gradtol32, f32),
-                             delta_bar.astype(f32), cfg32, kmax32)
-        # f64 polish start: re-orthonormalize the f32 iterate in f64
-        R1 = mf.mgs_rows(st32.R.astype(jnp.float64))
-        s1 = st32.s_ex.astype(jnp.float64).at[0].set(1.0)
+    ls_ok = jnp.asarray(True)
+    R_start = R0
+    if with_escape:
+        # saddle-escape linesearch along the certificate direction
+        # (trustregion.h:360-408), in f64 like the reference
+        R_ls, _f_ls, ls_ok = tr._escape_linesearch(
+            C, R0, s_ex0, esc_v, jnp.asarray(step0, jnp.float64), lam, cfg)
+        R_start = jnp.where(ls_ok, R_ls, R0)
 
-    st = tr._init_state(C, R1, s1, lam, delta_bar, cfg)
-    st = tr._run_chunk(C, st, lam, gradtol, delta_bar, cfg, kmax,
-                       C32 if inner32 else None)
+    def run_stage(R_start):
+        st32 = None
+        R1, s1 = R_start, s_ex0
+        if cfg32 is not None:
+            f32 = jnp.float32
+            st32 = tr._init_state(C32, R_start.astype(f32),
+                                  s_ex0.astype(f32), lam.astype(f32),
+                                  delta_bar.astype(f32), cfg32)
+            st32 = tr._run_chunk(C32, st32, lam.astype(f32),
+                                 jnp.asarray(gradtol32, f32),
+                                 delta_bar.astype(f32), cfg32, kmax32)
+            # f64 polish start: re-orthonormalize the f32 iterate in f64
+            R1 = mf.mgs_rows(st32.R.astype(jnp.float64))
+            s1 = st32.s_ex.astype(jnp.float64).at[0].set(1.0)
+
+        st = tr._init_state(C, R1, s1, lam, delta_bar, cfg)
+        st = tr._run_chunk(C, st, lam, gradtol, delta_bar, cfg, kmax,
+                           C32 if inner32 else None)
+        return st, st32
+
+    def fail_stage(R_start):
+        # linesearch failure: staircase aborts with primal = -1
+        # (XM_main.cu:109-113, trustregion.h:384-406); iterate untouched
+        bad = tr.TRState(
+            R=R0, s_ex=s_ex0, loss=jnp.asarray(-1.0, jnp.float64),
+            delta=jnp.zeros((), jnp.float64),
+            shrink_count=jnp.zeros((), jnp.int32),
+            endreason=jnp.asarray(tr.ER_MAX_INNER, jnp.int32),
+            k=jnp.zeros((), jnp.int32),
+            total_inner=jnp.zeros((), jnp.int32),
+            gradnorm=jnp.asarray(jnp.inf, jnp.float64),
+            done=jnp.asarray(True),
+            done_reason=jnp.asarray(tr.DONE_LINESEARCH_FAIL, jnp.int32),
+        )
+        if cfg32 is None:
+            return bad, None
+        bad32 = jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32)
+                       if jnp.issubdtype(x.dtype, jnp.floating) else x), bad)
+        return bad, bad32
+
+    if with_escape:
+        st, st32 = jax.lax.cond(ls_ok, run_stage, fail_stage, R_start)
+    else:
+        st, st32 = run_stage(R_start)
     sR = mf.flatten(mf.scale_blocks(st.R, st.s_ex))
 
     def do_cert(_):
@@ -116,13 +155,14 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
         # omitting the cond keeps the certificate graph out of the compile
         return st, st32, sR, None, None, None, None, None, None
     Z, dual, psd, lam_min_est, lam_min_lb, v_inv = jax.lax.cond(
-        st.done, do_cert, skip, None)
+        st.done & ls_ok, do_cert, skip, None)
     return st, st32, sR, Z, dual, psd, lam_min_est, lam_min_lb, v_inv
 
 
 def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
                  precision: str, bound: float, v0,
-                 inner_f32: bool = False, with_cert: bool = True):
+                 inner_f32: bool = False, with_cert: bool = True,
+                 escape_dir=None, linesearch_step: float = 0.0):
     """Run one staircase rank through the fused stage+certificate program.
 
     Returns ``(res, scalars, cert)`` where ``cert`` is a CertificateResult
@@ -144,12 +184,15 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
     else:
         cfg32, gradtol32, kmax32 = None, 0.0, 0
 
+    with_escape = escape_dir is not None and linesearch_step != 0.0
     st, st32, sR, Z, dual, psd, lme, lmlb, v_inv = _stage_certify_fused(
         Cq, jnp.asarray(R0, jnp.float64), jnp.asarray(s_ex0, jnp.float64),
         jnp.asarray(lam, jnp.float64), jnp.asarray(gradtol, jnp.float64),
         gradtol32, jnp.asarray(delta_bar, jnp.float64), bound,
         cfg, cfg.chunk, C32q, cfg32, kmax32, inner32=inner_f32,
-        with_cert=with_cert)
+        with_cert=with_cert, with_escape=with_escape,
+        esc_v=(jnp.asarray(escape_dir, jnp.float64) if with_escape else None),
+        step0=float(linesearch_step))
 
     fetch = [st.done, st.k, st.loss, st.gradnorm, st.done_reason,
              st.total_inner]
@@ -165,6 +208,13 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
     else:
         rest = vals[6:]
     k32, i32 = (int(rest[0]), int(rest[1])) if st32 is not None else (0, 0)
+
+    if int(reason_v) == tr.DONE_LINESEARCH_FAIL:
+        # escape linesearch failed inside the fused program: reproduce the
+        # reference's "linesearch failed! BM stopped!" abort (primal = -1)
+        res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
+                          st.total_inner, st.done_reason)
+        return res, (-1.0, int(reason_v), 0, 0), None
 
     if not bool(done_v):
         # stage outran the fused chunk: continue the chunked f64 loop and
@@ -286,14 +336,14 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     outer = inner = 0
 
     while o <= max_rank:
-        fused_ok = (dense and escape_dir is None
-                    and precision in ("f64", "mixed"))
+        fused_ok = dense and precision in ("f64", "mixed")
         cert_pre = None
         if fused_ok:
             res, scal, cert_pre = _stage_fused(
                 Cq, C32q, R0, s_ex, lam, gradtol, max_time, verbose,
                 precision, bound, prev_escape_v, inner_f32=inner_f32,
-                with_cert=not rank3_only)
+                with_cert=not rank3_only, escape_dir=escape_dir,
+                linesearch_step=(1.0 if escape_dir is not None else 0.0))
             primal_v, reason_v, outer_v, inner_v = scal
         else:
             res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir,

@@ -84,3 +84,28 @@ def test_simple1_mixed_certified(simple1_Q):
     assert res.certified
     np.testing.assert_allclose(res.primal, SIMPLE1_PRIMAL, rtol=1e-6)
     assert res.gap < 1e-5
+
+
+@pytest.mark.slow
+def test_fused_ladder_f32_overrun_fallback(simple1_Q):
+    """When the f32 phase outruns the fused program's chunk budget, the
+    staircase falls back to chunked f32 continuation + fresh f64 polish
+    (never polishing a truncated f32 warm start) and still reaches the
+    certified optimum."""
+    import jax.numpy as jnp
+
+    from xmtpu.ops.qop import as_qop, cast_qop
+    from xmtpu.solver import staircase as sc
+
+    Cq = as_qop(jnp.asarray(simple1_Q, jnp.float64))
+    C32q = cast_qop(Cq, jnp.float32)
+    n = simple1_Q.shape[0] // 3
+    R0 = np.broadcast_to(np.eye(3), (n, 3, 3))
+    s0 = np.ones((n,))
+    # chunk=2: the f32 phase cannot stall within 2 outers -> overrun path
+    res, scal, cert = sc._stage_fused(
+        Cq, C32q, R0, s0, 0.0, 1e-16, 1000.0, False, "mixed", 1e-4, None,
+        chunk=2)
+    primal_v, reason_v, outer_v, inner_v = scal
+    assert cert is None  # caller certifies separately on this path
+    np.testing.assert_allclose(primal_v, SIMPLE1_PRIMAL, rtol=1e-6)

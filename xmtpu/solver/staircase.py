@@ -46,7 +46,6 @@ STATUS_MAX_RANK = 2
 STATUS_LINESEARCH_FAIL = -2
 
 _scaled_factor = jax.jit(lambda R, s_ex: mf.flatten(mf.scale_blocks(R, s_ex)))
-_flat_factor = jax.jit(mf.flatten)
 
 
 class SolveResult(NamedTuple):
@@ -162,7 +161,8 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
 def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
                  precision: str, bound: float, v0,
                  inner_f32: bool = False, with_cert: bool = True,
-                 escape_dir=None, linesearch_step: float = 0.0):
+                 escape_dir=None, linesearch_step: float = 0.0,
+                 chunk: int = 100):
     """Run one staircase rank through the fused stage+certificate program.
 
     Returns ``(res, scalars, cert)`` where ``cert`` is a CertificateResult
@@ -175,16 +175,15 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
     n, _, o = R0.shape
     dim = n * (3 * o - 6) + n - 1
     delta_bar = float(np.sqrt(dim))
-    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
+    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32, chunk=chunk)
     if precision == "mixed":
-        cfg32 = tr.TRConfig.for_dtype(
-            jnp.float32, max_inner=100, stop_on_collapse=True)
-        gradtol32 = max(float(gradtol), 1e-5)
+        cfg32, gradtol32 = cfg.f32_ladder(gradtol)
         kmax32 = cfg32.chunk
     else:
         cfg32, gradtol32, kmax32 = None, 0.0, 0
 
     with_escape = escape_dir is not None and linesearch_step != 0.0
+    deadline = time.monotonic() + max_time  # stage wall budget incl. fused run
     st, st32, sR, Z, dual, psd, lme, lmlb, v_inv = _stage_certify_fused(
         Cq, jnp.asarray(R0, jnp.float64), jnp.asarray(s_ex0, jnp.float64),
         jnp.asarray(lam, jnp.float64), jnp.asarray(gradtol, jnp.float64),
@@ -199,7 +198,7 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
     if with_cert:
         fetch += [psd, dual, lme, lmlb]
     if st32 is not None:
-        fetch += [st32.k, st32.total_inner]
+        fetch += [st32.k, st32.total_inner, st32.done]
     vals = jax.device_get(tuple(fetch))
     done_v, k_v, loss_v, gn_v, reason_v, inner_v = vals[:6]
     if with_cert:
@@ -207,7 +206,10 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
         rest = vals[10:]
     else:
         rest = vals[6:]
-    k32, i32 = (int(rest[0]), int(rest[1])) if st32 is not None else (0, 0)
+    if st32 is not None:
+        k32, i32, done32_v = int(rest[0]), int(rest[1]), bool(rest[2])
+    else:
+        k32, i32, done32_v = 0, 0, True
 
     if int(reason_v) == tr.DONE_LINESEARCH_FAIL:
         # escape linesearch failed inside the fused program: reproduce the
@@ -216,21 +218,44 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
                           st.total_inner, st.done_reason)
         return res, (-1.0, int(reason_v), 0, 0), None
 
+    if not done32_v:
+        # the f32 phase outran the fused chunk: the in-program f64 polish
+        # started from a truncated warm start, which would silently shift
+        # the bulk iterations into ~40x-costlier emulated f64.  Discard it,
+        # run the f32 phase to its natural stall with chunked continuation,
+        # then polish and certify separately (the unfused ladder from here).
+        res32 = tr.continue_chunks(C32q, st32, lam, gradtol32, delta_bar,
+                                   cfg32, k_done=k32, deadline=deadline)
+        R1 = mf.mgs_rows(res32.R.astype(jnp.float64))
+        s1 = res32.s_ex.astype(jnp.float64).at[0].set(1.0)
+        res = tr.trust_region_solve(Cq, R1, s1, lam, gradtol, cfg=cfg)
+        vals2 = jax.device_get((res.primal, res.done_reason,
+                                res.outer_iters, res.total_inner,
+                                res32.outer_iters, res32.total_inner))
+        primal_v, reason_c = float(vals2[0]), int(vals2[1])
+        outer_c, inner_c = int(vals2[2]) + int(vals2[4]), \
+            int(vals2[3]) + int(vals2[5])
+        if verbose:
+            print(f"[xm] rank {o}: primal={primal_v:.6e} "
+                  f"outer={outer_c} inner={inner_c} reason={reason_c}")
+        return res, (primal_v, reason_c, outer_c, inner_c), None
+
     if not bool(done_v):
-        # stage outran the fused chunk: continue the chunked f64 loop and
-        # let the caller certify separately
-        deadline = time.monotonic() + max_time
+        # f64 stage outran the fused chunk: continue the chunked loop and
+        # let the caller certify separately; ONE batched scalar fetch
+        # (CLAUDE.md rule 5 — each blocking fetch costs ~20-40 ms here)
         res = tr.continue_chunks(Cq, st, lam, gradtol, delta_bar, cfg,
                                  Q32=C32q if inner_f32 else None,
                                  k_done=int(k_v), deadline=deadline)
+        primal_v, reason_c, outer_c, inner_c = (
+            jax.device_get((res.primal, res.done_reason, res.outer_iters,
+                            res.total_inner)))
         if verbose:
-            print(f"[xm] rank {o}: primal={float(res.primal):.6e} "
-                  f"gradnorm={float(res.gradnorm):.3e} "
-                  f"outer={int(res.outer_iters) + k32} "
-                  f"inner={int(res.total_inner) + i32} "
-                  f"reason={int(res.done_reason)}")
-        scal = (float(res.primal), int(res.done_reason),
-                int(res.outer_iters) + k32, int(res.total_inner) + i32)
+            print(f"[xm] rank {o}: primal={float(primal_v):.6e} "
+                  f"outer={int(outer_c) + k32} inner={int(inner_c) + i32} "
+                  f"reason={int(reason_c)}")
+        scal = (float(primal_v), int(reason_c),
+                int(outer_c) + k32, int(inner_c) + i32)
         return res, scal, None
 
     res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,

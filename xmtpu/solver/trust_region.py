@@ -113,6 +113,26 @@ class TRConfig:
             kwargs.setdefault("linesearch_alpha_min", 1e-18)
         return TRConfig(**kwargs)
 
+    def f32_ladder(self, gradtol) -> "tuple[TRConfig, float]":
+        """The mixed ladder's f32-phase policy, derived from this (f64)
+        config: stop at the first trust-radius collapse (the f32 rho-noise
+        floor — further outers are rejection churn), bound tCG runs (f32
+        recurrence noise can keep the superlinear stop out of reach), and
+        floor the gradient tolerance at what f32 can resolve.
+
+        Single source of truth for both ladder implementations
+        (``trust_region_solve_mixed`` and the staircase's fused program).
+        Returns ``(cfg32, gradtol32)``.
+        """
+        import jax.numpy as _jnp
+
+        cfg32 = TRConfig.for_dtype(
+            _jnp.float32, max_outer=self.max_outer,
+            max_inner=min(self.max_inner, 100),
+            max_time=self.max_time, chunk=self.chunk,
+            stop_on_collapse=True)
+        return cfg32, max(float(gradtol), 1e-5)
+
 
 class TRState(NamedTuple):
     R: jax.Array          # (n, 3, o)
@@ -328,8 +348,12 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         collapse = shrink_count > 3
         delta = jnp.where(collapse, delta * 1e-3, delta)
         shrink_count = jnp.where(collapse, 0, shrink_count)
-        delta_dead = (collapse if cfg.stop_on_collapse
-                      else collapse & (delta < cfg.delta_min))
+        delta_dead = collapse & (delta < cfg.delta_min)
+        # early stop at the first collapse (f32 rho-noise floor).  Unlike
+        # delta_dead it does NOT bypass the rejection test below: the radius
+        # is still full-size here, so a kept bad step would be materially
+        # worse than the last accepted iterate.
+        early_stop = collapse if cfg.stop_on_collapse else jnp.asarray(False)
 
         # rejection keeps the previous iterate (trustregion.h:702-708); the
         # delta-collapse break in the reference skips the rejection check, so
@@ -342,10 +366,10 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         loss_out = jnp.where(bad_model, st.loss, loss_out)
 
         hit_small = endreason == ER_SMALL_RDOTR
-        done = bad_model | delta_dead | hit_small
+        done = bad_model | delta_dead | early_stop | hit_small
         done_reason = jnp.where(
             bad_model, DONE_LOSSQU,
-            jnp.where(delta_dead, DONE_DELTA,
+            jnp.where(delta_dead | early_stop, DONE_DELTA,
                       jnp.where(hit_small, DONE_RDOTR_SMALL, RUNNING))
         ).astype(jnp.int32)
         # bad_model: no step taken; delta/shrink updates from this pass are
@@ -564,19 +588,11 @@ def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
             return res_ls
         R0, s_ex0 = res_ls.R, res_ls.s_ex
 
-    # f32 phase caps: stop at the first trust-radius collapse (the f32 noise
-    # floor — further outers are rejection churn), bound tCG runs (f32
-    # recurrence noise can keep the superlinear stop out of reach), and floor
-    # the gradient tolerance at what f32 can resolve.
-    cfg32 = TRConfig.for_dtype(
-        jnp.float32, max_outer=cfg.max_outer,
-        max_inner=min(cfg.max_inner, 100),
-        max_time=cfg.max_time, chunk=cfg.chunk, stop_on_collapse=True)
+    cfg32, gradtol32 = cfg.f32_ladder(gradtol)
     Q32 = cast_qop(Q, jnp.float32)
     res32 = trust_region_solve(Q32, R0.astype(jnp.float32),
                                s_ex0.astype(jnp.float32), lam,
-                               max(float(gradtol), 1e-5),
-                               cfg=cfg32, dtype=jnp.float32)
+                               gradtol32, cfg=cfg32, dtype=jnp.float32)
 
     # f64 polish from the f32 iterate (re-orthonormalize in f64 first)
     R1 = mf.mgs_rows(res32.R.astype(jnp.float64))

@@ -45,10 +45,18 @@ def main():
 
     # warmup (compile; persistent cache makes this fast on reruns)
     res = solve_arrays(Q, **kw)
+    if not res.certified:
+        # BM rank-3 basin safety net: fall back to the reference-parity f64
+        # path (slower but certification is deterministic there)
+        kw = dict(max_rank=3, tol=1e-16, lam=0.0, max_time=1000,
+                  verbose=False)
+        res = solve_arrays(Q, **kw)
     assert res.certified, "SIMPLE1 must certify at rank 3"
 
+    # median of 5: the remote tunnel's dispatch latency fluctuates run to
+    # run (observed 189-272 ms for the identical program on 3-run medians)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         res = solve_arrays(Q, **kw)
         times.append((time.perf_counter() - t0) * 1e3)

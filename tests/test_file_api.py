@@ -54,3 +54,24 @@ def test_solve_with_init(dataset):
     status = solve_with_init(str(path), max_rank=4, tol=1e-8, lam=0.0,
                              verbose=False)
     assert status == 1  # certified
+
+
+def test_xm_compat_shim(tmp_path):
+    """`import XM; XM.solve(path, ...)` runs reference scripts unchanged
+    (1_test_solve.py:42 shape: same signatures, file contract, returns)."""
+    import shutil
+
+    import XM
+    from xmtpu.io.bin_format import load_matrix_from_bin
+
+    path = tmp_path / "SIMPLE1"
+    path.mkdir()
+    shutil.copy("/root/reference/assets/SIMPLE1/Q.bin", path)
+    assert XM.solve(str(path), 3, 1e-8, 0.0, 1000) is None
+    R, _ = load_matrix_from_bin(str(path / "R.bin"))
+    s, _ = load_matrix_from_bin(str(path / "s.bin"))
+    assert R.shape[0] == 3 * s.shape[0]
+    shutil.copy(path / "s.bin", path / "s_ini.bin")  # rebuttle warm start
+    status = XM.solve_rebuttle(str(path), 3, 1e-8, 0.0, 1000)
+    assert status in (-2, 1, 2)
+    assert XM.solve_rank3(str(path), 3, 1e-8, 0.0, 1000) is None

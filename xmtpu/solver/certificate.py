@@ -204,26 +204,39 @@ def _build_z_dual_psd(C, sR, lam, shift):
     import jax.scipy.linalg as jsl
 
     Z, dual = _z_and_dual(C, sR, lam)
-    eye = jnp.eye(Z.shape[0], dtype=Z.dtype)
+    dim = Z.shape[0]
+    eye = jnp.eye(dim, dtype=Z.dtype)
     L = jnp.linalg.cholesky(Z + shift * eye)
     psd_shift = ~jnp.any(jnp.isnan(L))
-    Lsafe = jnp.where(psd_shift, L, eye)
 
-    # materialize the inverse once (two triangular solves with n RHS — the
-    # same latency chain as ONE per-vector solve) so every Lanczos iteration
-    # is a dense MXU matvec instead of two sequential triangular solves
-    Ainv = jsl.cho_solve((Lsafe, True), eye)
-    Ainv = 0.5 * (Ainv + Ainv.T)
-
-    # the inverse maps Z's near-zero cluster to its *top*, extremely
-    # separated end: 16 iterations already reach resid ~3e-12 on SIMPLE1
-    # (measured; 24 leaves margin), vs 96 for Lanczos on Z itself
-    theta_neg, v, resid = lanczos_min_eig(lambda x: -(Ainv @ x), Z.shape[0],
-                                          num_iters=24)
-    theta = -theta_neg                      # = lambda_max((Z + shift I)^-1)
-    # one-sided bounds on lam_min(Z) from the Ritz interval
-    lam_min_est = 1.0 / theta - shift
-    lam_min_lb = 1.0 / (theta + resid) - shift
+    if dim <= LANCZOS_AUTO_DIM:
+        Lsafe = jnp.where(psd_shift, L, eye)
+        # materialize the inverse once (two triangular solves with n RHS —
+        # the same latency chain as ONE per-vector solve) so every Lanczos
+        # iteration is a dense MXU matvec instead of two sequential
+        # triangular solves.  The inverse maps Z's near-zero cluster to its
+        # *top*, extremely separated end: 16 iterations already reach resid
+        # ~3e-12 on SIMPLE1 (measured; 24 leaves margin), vs 96 for Lanczos
+        # on Z itself
+        Ainv = jsl.cho_solve((Lsafe, True), eye)
+        Ainv = 0.5 * (Ainv + Ainv.T)
+        theta_neg, v, resid = lanczos_min_eig(lambda x: -(Ainv @ x), dim,
+                                              num_iters=24)
+        theta = -theta_neg                  # = lambda_max((Z + shift I)^-1)
+        # one-sided bounds on lam_min(Z) from the Ritz interval
+        lam_min_est = 1.0 / theta - shift
+        lam_min_lb = 1.0 / (theta + resid) - shift
+    else:
+        # large dense problems: the inverse costs two emulated-f64
+        # triangular solves with `dim` right-hand sides (~O(dim^3), tens of
+        # seconds at n~2000) and only serves *reporting* — the Cholesky
+        # probe above already decided certification.  Report lam_min from
+        # plain Lanczos on Z instead (cheap MXU matvecs; the Ritz value
+        # upper-bounds lam_min so subtract its residual for the lower bound
+        # used in the gap)
+        lam_min_est, v, resid = lanczos_min_eig(lambda x: Z @ x, dim,
+                                                num_iters=48)
+        lam_min_lb = lam_min_est - resid
     return Z, dual, psd_shift, lam_min_est, lam_min_lb, v
 
 

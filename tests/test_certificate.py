@@ -135,9 +135,14 @@ def test_fused_stage_escape_descends(solved_problem):
 
 
 def test_fused_stage_escape_abort(solved_problem):
-    """A zero escape direction cannot decrease the objective: the fused
-    program must reproduce the reference's linesearch abort (primal = -1,
-    DONE_LINESEARCH_FAIL) without running the TR stage."""
+    """An underflowed linesearch step must reproduce the reference's abort
+    (primal = -1, DONE_LINESEARCH_FAIL) without running the TR stage.
+
+    (A zero escape *direction* is NOT a deterministic abort: ``mgs_rows``
+    re-orthonormalization roundoff can 'decrease' f below f0 at an optimum
+    where f0 ~ 1e-13 — the same coin flip exists in the reference's
+    ``f0 - f > 0`` test, trustregion.h:384-406.  Alpha underflow aborts
+    unconditionally.)"""
     from xmtpu.ops.qop import as_qop
     from xmtpu.solver import staircase as sc
 
@@ -148,7 +153,7 @@ def test_fused_stage_escape_abort(solved_problem):
     res4, scal, cert = sc._stage_fused(
         as_qop(jnp.asarray(C)), None, R_grown, res.s_ex, 0.0, 1e-8, 1000.0,
         False, "f64", 1e-4, None,
-        escape_dir=np.zeros(3 * n), linesearch_step=1.0)
+        escape_dir=np.zeros(3 * n), linesearch_step=1e-30)
     primal_v, reason_v, _, _ = scal
     assert reason_v == tr.DONE_LINESEARCH_FAIL
     assert primal_v == -1.0

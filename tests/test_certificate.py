@@ -158,3 +158,28 @@ def test_fused_stage_escape_abort(solved_problem):
     assert reason_v == tr.DONE_LINESEARCH_FAIL
     assert primal_v == -1.0
     assert cert is None
+
+
+@pytest.mark.slow
+def test_large_dim_certificate_reporting():
+    """Above LANCZOS_AUTO_DIM the dense certificate skips the inverse
+    refinement; the certified branch must still report a sane gap (the PSD
+    probe's lam_min >= -bound clamps the unconverged Ritz lower bound)."""
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver.certificate import _min_eig_bound
+
+    scene = make_scene(n_cameras=520, n_points=1600, obs_per_camera=25,
+                       noise=0.0, seed=21)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    n = C.shape[0] // 3
+    assert C.shape[0] > 1500  # exercises the large-dim branch
+    res = tr.trust_region_solve(jnp.asarray(C), mf.identity_frames(n, 3),
+                                jnp.ones((n,)), lam=0.0, gradtol=1e-9)
+    sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+    cert = certify(jnp.asarray(C), sR, 0.0, res.primal)
+    assert bool(cert.certified)
+    bound = _min_eig_bound(n)
+    K = 3.0 * n
+    # gap bounded by the probe's guarantee, not an unconverged Ritz interval
+    assert float(cert.gap) <= float(cert.primal - cert.dual) + K * bound + 1e-9
+    assert float(cert.lam_min) <= bound

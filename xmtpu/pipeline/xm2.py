@@ -85,9 +85,10 @@ def choose_implicit(N: int, M: int, budget_bytes: int | None = None) -> bool:
     return est > budget_bytes
 
 
-def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
-                            max_time, verbose, implicit, precision,
-                            rank3_probe=False):
+def _assemble_operator(weights, edges, landmarks, verbose, implicit):
+    """Build the cost operator once; reusable across a probe + final solve
+    on the same observation set (the reference re-reads Q.bin from disk for
+    each of its solve calls, 3_test:338-351)."""
     if implicit == "auto":
         N = int(np.asarray(edges)[:, 0].max())
         M = int(np.asarray(edges)[:, 1].max())
@@ -96,29 +97,45 @@ def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
             print(f"[xm2] operator: {'SchurQ (implicit)' if implicit else 'dense C'}")
     if implicit:
         from xmtpu.ops.schurq import SchurQ
+
+        return SchurQ.build(weights, edges, landmarks), None, True
+    C, Abar = create_matrix_arrays(weights, edges, landmarks)
+    return C, Abar, False
+
+
+def _solve_recover(op, Abar, implicit, max_rank, tol, lam, max_time, verbose,
+                   precision, rank3_probe=False):
+    if implicit:
         from xmtpu.pipeline.recover import recover_XM_implicit
 
-        Q = SchurQ.build(weights, edges, landmarks)
         # production policy: at the pipeline's loose tolerances the implicit
         # operator's f64-emulated edge reductions dominate; run the tCG
         # Hessian applies in f32 (the f64 rho test guards the model) —
         # measured 2.2x on the n=1934 testbed at identical optima
         inner_f32 = tol >= 1e-3
         if rank3_probe:
-            return solve_arrays(Q, 3, tol, lam, max_time, rank3_only=True,
+            return solve_arrays(op, 3, tol, lam, max_time, rank3_only=True,
                                 verbose=verbose, precision=precision,
                                 inner_f32=inner_f32), None
-        res = solve_arrays(Q, max_rank, tol, lam, max_time, verbose=verbose,
+        res = solve_arrays(op, max_rank, tol, lam, max_time, verbose=verbose,
                            precision=precision, inner_f32=inner_f32)
-        return res, recover_XM_implicit(Q, res.R, res.s_ex, lam,
+        return res, recover_XM_implicit(op, res.R, res.s_ex, lam,
                                         verbose=verbose)
-    C, Abar = create_matrix_arrays(weights, edges, landmarks)
     if rank3_probe:
-        return solve_arrays(C, 3, tol, lam, max_time, rank3_only=True,
+        return solve_arrays(op, 3, tol, lam, max_time, rank3_only=True,
                             verbose=verbose, precision=precision), None
-    res = solve_arrays(C, max_rank, tol, lam, max_time, verbose=verbose,
+    res = solve_arrays(op, max_rank, tol, lam, max_time, verbose=verbose,
                        precision=precision)
-    return res, recover_XM(C, res.R, res.s_ex, Abar, lam, verbose=verbose)
+    return res, recover_XM(op, res.R, res.s_ex, Abar, lam, verbose=verbose)
+
+
+def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
+                            max_time, verbose, implicit, precision,
+                            rank3_probe=False):
+    op, Abar, impl = _assemble_operator(weights, edges, landmarks, verbose,
+                                        implicit)
+    return _solve_recover(op, Abar, impl, max_rank, tol, lam, max_time,
+                          verbose, precision, rank3_probe)
 
 
 def xm2_solve(edges, weights, landmarks, rgbs, N, M,
@@ -163,10 +180,13 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     indices_all[live] = indices[indices_all[live]]
 
     # rank-3 probe with lam = 0, then adaptive regularization (3_test:338-351)
+    # The operator is assembled ONCE for the probe + final solve — same
+    # observation set; the reference re-reads Q.bin from disk per solve.
     lam = 0.0
-    probe, _ = _assemble_solve_recover(weights, edges, landmarks, 3, tol, lam,
-                                       max_time, verbose, implicit, precision,
-                                       rank3_probe=True)
+    op2, Abar2, impl2 = _assemble_operator(weights, edges, landmarks, verbose,
+                                           implicit)
+    probe, _ = _solve_recover(op2, Abar2, impl2, 3, tol, lam, max_time,
+                              verbose, precision, rank3_probe=True)
     s = probe.s_ex
     s_avg, s_std = np.mean(s[1:]), np.std(s[1:])
     if np.abs(s_avg - 1) > 2 * s_std or np.sum(s < 0.1) > 10:
@@ -175,9 +195,8 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
         lam = edges.shape[0] / int(edges[:, 0].max())
     elif verbose:
         print("s is good")
-    res, rec = _assemble_solve_recover(weights, edges, landmarks, max_rank,
-                                       tol, lam, max_time, verbose, implicit,
-                                       precision)
+    res, rec = _solve_recover(op2, Abar2, impl2, max_rank, tol, lam,
+                              max_time, verbose, precision)
     R_real, s_real, p_est, t_est = rec
 
     return XM2Result(R_real, s_real, p_est, t_est, edges, weights, landmarks,

@@ -151,20 +151,28 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     (:func:`choose_implicit`). ``precision="mixed"`` enables the f32/f64
     ladder.
     """
-    edges, landmarks, weights, rgbs, indices_all = checklandmarks(
-        edges, landmarks, weights, rgbs, N, M)
+    from xmtpu.utils.timer import PhaseTimer
+
+    timer = PhaseTimer()
+    with timer.phase("clean1"):
+        edges, landmarks, weights, rgbs, indices_all = checklandmarks(
+            edges, landmarks, weights, rgbs, N, M)
 
     # ---- pass 1 ----
     lam = edges.shape[0] / int(edges[:, 0].max())
-    res, rec = _assemble_solve_recover(weights, edges, landmarks, max_rank,
-                                       tol, lam, max_time, verbose, implicit,
-                                       precision)
+    with timer.phase("pass1_assemble"):
+        op1, Abar1, impl1 = _assemble_operator(weights, edges, landmarks,
+                                               verbose, implicit)
+    with timer.phase("pass1_solve_recover"):
+        res, rec = _solve_recover(op1, Abar1, impl1, max_rank, tol, lam,
+                                  max_time, verbose, precision)
     R_real, s_real, p_est, t_est = rec
     first_pass = (R_real, s_real, p_est, t_est)
 
     # ---- residual cut ----
-    error = xm2_residuals(edges, weights, landmarks, R_real, s_real, t_est,
-                          p_est, relative=relative)
+    with timer.phase("residuals"):
+        error = xm2_residuals(edges, weights, landmarks, R_real, s_real,
+                              t_est, p_est, relative=relative)
     if verbose:
         print("sum of error: ", float(np.sum(error)))
     keep = error <= np.percentile(error, percentile)
@@ -174,8 +182,9 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     # ---- re-clean + pass 2 ----
     N2 = s_real.shape[0]
     M2 = p_est.shape[1]
-    edges, landmarks, weights, rgbs, indices = checklandmarks(
-        edges, landmarks, weights, rgbs, N2, M2)
+    with timer.phase("clean2"):
+        edges, landmarks, weights, rgbs, indices = checklandmarks(
+            edges, landmarks, weights, rgbs, N2, M2)
     live = indices_all > -1
     indices_all[live] = indices[indices_all[live]]
 
@@ -183,10 +192,12 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     # The operator is assembled ONCE for the probe + final solve — same
     # observation set; the reference re-reads Q.bin from disk per solve.
     lam = 0.0
-    op2, Abar2, impl2 = _assemble_operator(weights, edges, landmarks, verbose,
-                                           implicit)
-    probe, _ = _solve_recover(op2, Abar2, impl2, 3, tol, lam, max_time,
-                              verbose, precision, rank3_probe=True)
+    with timer.phase("pass2_assemble"):
+        op2, Abar2, impl2 = _assemble_operator(weights, edges, landmarks,
+                                               verbose, implicit)
+    with timer.phase("pass2_probe"):
+        probe, _ = _solve_recover(op2, Abar2, impl2, 3, tol, lam, max_time,
+                                  verbose, precision, rank3_probe=True)
     s = probe.s_ex
     s_avg, s_std = np.mean(s[1:]), np.std(s[1:])
     if np.abs(s_avg - 1) > 2 * s_std or np.sum(s < 0.1) > 10:
@@ -195,9 +206,12 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
         lam = edges.shape[0] / int(edges[:, 0].max())
     elif verbose:
         print("s is good")
-    res, rec = _solve_recover(op2, Abar2, impl2, max_rank, tol, lam,
-                              max_time, verbose, precision)
+    with timer.phase("pass2_solve_recover"):
+        res, rec = _solve_recover(op2, Abar2, impl2, max_rank, tol, lam,
+                                  max_time, verbose, precision)
     R_real, s_real, p_est, t_est = rec
+    if verbose:
+        print("[xm2 phases]\n" + timer.report())
 
     return XM2Result(R_real, s_real, p_est, t_est, edges, weights, landmarks,
                      rgbs, indices_all, lam, first_pass)

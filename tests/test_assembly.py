@@ -78,3 +78,32 @@ def test_C_symmetric_psd():
     np.testing.assert_allclose(C, C.T, atol=1e-9)
     w = np.linalg.eigvalsh(C)
     assert w.min() > -1e-7 * max(1.0, w.max())
+
+
+def test_mixed_precision_assembly_close_and_certifiable():
+    """precision='mixed' assembly (hardware-f32 heavy middle) produces a C
+    within ~1e-5 relative of the f64 assembly, and the staircase certifies
+    the perturbed problem at a matching optimum."""
+    import numpy as np
+
+    from xmtpu.assembly.creatematrix import create_matrix_arrays
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene = make_scene(n_cameras=40, n_points=200, obs_per_camera=30,
+                       noise=1e-3, seed=7)
+    C64, A64 = create_matrix_arrays(scene.weights, scene.edges,
+                                    scene.landmarks)
+    C32, A32 = create_matrix_arrays(scene.weights, scene.edges,
+                                    scene.landmarks, precision="mixed")
+    assert C32.dtype == np.float64  # outputs always f64
+    scale = np.abs(C64).max()
+    assert np.abs(C32 - C64).max() / scale < 1e-4
+    assert np.abs(A32 - A64).max() / max(np.abs(A64).max(), 1.0) < 1e-3
+
+    r64 = solve_arrays(C64, max_rank=4, tol=1e-6, lam=0.0, verbose=False)
+    r32 = solve_arrays(C32, max_rank=4, tol=1e-6, lam=0.0, verbose=False)
+    assert r64.certified and r32.certified
+    # the optimum objective sits at residual level (~1e-3 of ||C||), so a
+    # 1e-5-relative C perturbation moves it by a few percent relatively
+    np.testing.assert_allclose(r32.primal, r64.primal, rtol=5e-2)

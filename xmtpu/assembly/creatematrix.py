@@ -46,11 +46,17 @@ import numpy as np
 from xmtpu.io.bin_format import save_matrix_to_bin
 
 
-@partial(jax.jit, static_argnames=("N", "M"))
-def _assemble(w, f, l, x, N: int, M: int):
+@partial(jax.jit, static_argnames=("N", "M", "dtype"))
+def _assemble(w, f, l, x, N: int, M: int, dtype=jnp.float64):
     """Core assembly.  w:(E,) weights, f/l:(E,) 0-based frame/landmark ids,
-    x:(E,3) lifted landmark observations."""
-    dtype = jnp.float64
+    x:(E,3) lifted landmark observations.
+
+    ``dtype=jnp.float32`` runs the heavy middle (the O(N^2(N+M)) GEMMs and
+    the VT Cholesky solves — ~150 s of emulated f64 at n~1900) in hardware
+    f32; inputs quantize at ~1e-8 and the assembled C carries ~1e-6
+    relative error, far below the pipeline's loose-tolerance operating
+    points (the solve then certifies the perturbed problem consistently).
+    Outputs are returned as f64 either way."""
     w = w.astype(dtype)
     x = x.astype(dtype)
 
@@ -122,10 +128,11 @@ def _assemble(w, f, l, x, N: int, M: int):
     C = C.at[r3, c3].add(Q1)
 
     C = 0.5 * (C + C.T)
-    return C, Abar, S
+    return (C.astype(jnp.float64), Abar.astype(jnp.float64),
+            S.astype(jnp.float64))
 
 
-def create_matrix_arrays(weights, edges, landmarks):
+def create_matrix_arrays(weights, edges, landmarks, precision: str = "f64"):
     """Assemble (C, Abar) in memory.
 
     Args:
@@ -133,9 +140,12 @@ def create_matrix_arrays(weights, edges, landmarks):
       edges: (E, 2) int array of 1-based ``[frame, landmark]`` ids (the
         reference's convention, creatematrix.py:63-67).
       landmarks: (E, 3) depth-lifted 3-D observations in camera frame.
+      precision: "f64" (reference parity) or "mixed" (hardware-f32 heavy
+        middle, ~1e-6 relative C error; falls back to f64 automatically if
+        the f32 VT Cholesky breaks down).
 
     Returns:
-      C: (3N, 3N) cost matrix.  Abar: (N+M-1, 3N) recovery operator.
+      C: (3N, 3N) f64 cost matrix.  Abar: (N+M-1, 3N) f64 recovery operator.
     """
     edges = np.asarray(edges)
     weights = np.asarray(weights).ravel()
@@ -144,8 +154,13 @@ def create_matrix_arrays(weights, edges, landmarks):
     l = jnp.asarray(edges[:, 1] - 1, jnp.int32)
     N = int(edges[:, 0].max())
     M = int(edges[:, 1].max())
+    dtype = jnp.float32 if precision == "mixed" else jnp.float64
     C, Abar, S = _assemble(jnp.asarray(weights), f, l, jnp.asarray(landmarks),
-                           N, M)
+                           N, M, dtype=dtype)
+    if dtype == jnp.float32 and not bool(jnp.isfinite(S)):
+        # f32 Cholesky breakdown on an ill-conditioned VT: redo in f64
+        C, Abar, S = _assemble(jnp.asarray(weights), f, l,
+                               jnp.asarray(landmarks), N, M)
     if float(S) == 0.0:
         raise ValueError("S is 0")  # anchor guard (creatematrix.py:301-302)
     return np.asarray(C), np.asarray(Abar)

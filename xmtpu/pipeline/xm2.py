@@ -85,10 +85,16 @@ def choose_implicit(N: int, M: int, budget_bytes: int | None = None) -> bool:
     return est > budget_bytes
 
 
-def _assemble_operator(weights, edges, landmarks, verbose, implicit):
+def _assemble_operator(weights, edges, landmarks, verbose, implicit,
+                       precision: str = "f64"):
     """Build the cost operator once; reusable across a probe + final solve
     on the same observation set (the reference re-reads Q.bin from disk for
-    each of its solve calls, 3_test:338-351)."""
+    each of its solve calls, 3_test:338-351).
+
+    ``precision="mixed"`` runs the dense assembly's heavy middle in hardware
+    f32 (~1e-6 relative C error — assembly was the largest warm phase at
+    n=1934, see benchmarks/README.md); SchurQ stays f64 (its factors feed
+    the matvec certificate)."""
     if implicit == "auto":
         N = int(np.asarray(edges)[:, 0].max())
         M = int(np.asarray(edges)[:, 1].max())
@@ -99,7 +105,8 @@ def _assemble_operator(weights, edges, landmarks, verbose, implicit):
         from xmtpu.ops.schurq import SchurQ
 
         return SchurQ.build(weights, edges, landmarks), None, True
-    C, Abar = create_matrix_arrays(weights, edges, landmarks)
+    C, Abar = create_matrix_arrays(weights, edges, landmarks,
+                                   precision=precision)
     return C, Abar, False
 
 
@@ -133,7 +140,7 @@ def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
                             max_time, verbose, implicit, precision,
                             rank3_probe=False):
     op, Abar, impl = _assemble_operator(weights, edges, landmarks, verbose,
-                                        implicit)
+                                        implicit, precision)
     return _solve_recover(op, Abar, impl, max_rank, tol, lam, max_time,
                           verbose, precision, rank3_probe)
 
@@ -162,7 +169,7 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     lam = edges.shape[0] / int(edges[:, 0].max())
     with timer.phase("pass1_assemble"):
         op1, Abar1, impl1 = _assemble_operator(weights, edges, landmarks,
-                                               verbose, implicit)
+                                               verbose, implicit, precision)
     with timer.phase("pass1_solve_recover"):
         res, rec = _solve_recover(op1, Abar1, impl1, max_rank, tol, lam,
                                   max_time, verbose, precision)
@@ -194,7 +201,7 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
     lam = 0.0
     with timer.phase("pass2_assemble"):
         op2, Abar2, impl2 = _assemble_operator(weights, edges, landmarks,
-                                               verbose, implicit)
+                                               verbose, implicit, precision)
     with timer.phase("pass2_probe"):
         probe, _ = _solve_recover(op2, Abar2, impl2, 3, tol, lam, max_time,
                                   verbose, precision, rank3_probe=True)

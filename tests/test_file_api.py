@@ -59,14 +59,20 @@ def test_solve_with_init(dataset):
 def test_xm_compat_shim(tmp_path):
     """`import XM; XM.solve(path, ...)` runs reference scripts unchanged
     (1_test_solve.py:42 shape: same signatures, file contract, returns)."""
+    import os
     import shutil
+
+    import pytest
 
     import XM
     from xmtpu.io.bin_format import load_matrix_from_bin
 
+    src = "/root/reference/assets/SIMPLE1/Q.bin"
+    if not os.path.exists(src):
+        pytest.skip("reference SIMPLE1 fixture not available")
     path = tmp_path / "SIMPLE1"
     path.mkdir()
-    shutil.copy("/root/reference/assets/SIMPLE1/Q.bin", path)
+    shutil.copy(src, path)
     assert XM.solve(str(path), 3, 1e-8, 0.0, 1000) is None
     R, _ = load_matrix_from_bin(str(path / "R.bin"))
     s, _ = load_matrix_from_bin(str(path / "s.bin"))

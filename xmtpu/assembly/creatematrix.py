@@ -157,11 +157,20 @@ def create_matrix_arrays(weights, edges, landmarks, precision: str = "f64"):
     dtype = jnp.float32 if precision == "mixed" else jnp.float64
     C, Abar, S = _assemble(jnp.asarray(weights), f, l, jnp.asarray(landmarks),
                            N, M, dtype=dtype)
-    if dtype == jnp.float32 and not bool(jnp.isfinite(S)):
-        # f32 Cholesky breakdown on an ill-conditioned VT: redo in f64
-        C, Abar, S = _assemble(jnp.asarray(weights), f, l,
-                               jnp.asarray(landmarks), N, M)
-    if float(S) == 0.0:
+    if dtype == jnp.float32:
+        # one batched fetch (CLAUDE.md rule 5): detect f32 breakdown
+        # anywhere — Cholesky NaNs (S) OR overflow in C/Abar (e.g.
+        # w*x^2 > f32 max on unnormalized metric-scale scenes) — and redo
+        # in f64
+        ok, S_v = jax.device_get(
+            (jnp.isfinite(C).all() & jnp.isfinite(Abar).all()
+             & jnp.isfinite(S), S))
+        if not bool(ok):
+            C, Abar, S_v = _assemble(jnp.asarray(weights), f, l,
+                                     jnp.asarray(landmarks), N, M)
+    else:
+        S_v = S
+    if float(S_v) == 0.0:
         raise ValueError("S is 0")  # anchor guard (creatematrix.py:301-302)
     return np.asarray(C), np.asarray(Abar)
 

@@ -136,15 +136,6 @@ def _solve_recover(op, Abar, implicit, max_rank, tol, lam, max_time, verbose,
     return res, recover_XM(op, res.R, res.s_ex, Abar, lam, verbose=verbose)
 
 
-def _assemble_solve_recover(weights, edges, landmarks, max_rank, tol, lam,
-                            max_time, verbose, implicit, precision,
-                            rank3_probe=False):
-    op, Abar, impl = _assemble_operator(weights, edges, landmarks, verbose,
-                                        implicit, precision)
-    return _solve_recover(op, Abar, impl, max_rank, tol, lam, max_time,
-                          verbose, precision, rank3_probe)
-
-
 def xm2_solve(edges, weights, landmarks, rgbs, N, M,
               max_rank: int = 5, tol: float = 1e-1, max_time: float = 1000.0,
               relative: bool = False, percentile: float = 90.0,

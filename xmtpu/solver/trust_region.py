@@ -82,8 +82,9 @@ class TRConfig:
     linesearch_alpha_min: float = 1e-20
     # Block-Jacobi tCG preconditioning (xmtpu improvement over the
     # unpreconditioned reference; Manopt-style M-norm Steihaug recurrences).
-    # Applies when the Q operator exposes diag_blocks(); the preconditioner
-    # is normalized to unit mean diagonal so the radius policy keeps the
+    # Applies when the Q operator exposes diag_blocks(); covers both frame
+    # blocks and (at lam > 0) the scale coordinates — see _build_minv —
+    # normalized to unit mean diagonal so the radius policy keeps the
     # reference's scale. Trajectories differ; certified optima do not.
     precondition: bool = True
     # Stop the outer loop at the FIRST trust-radius collapse (shrink streak
@@ -166,8 +167,9 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
     (trustregion.h:642-644).  Returns the step ``v``, the accumulated
     Hessian-times-step ``hv``, the tCG end reason and iteration count.
 
-    ``minv`` (n, 3, 3, optional) enables block-Jacobi preconditioning — an
-    xmtpu improvement over the unpreconditioned reference.  The loop then
+    ``minv`` (optional ``(minv_R (n,3,3), ms (n-1,))`` pair from
+    ``_build_minv``) enables block-Jacobi preconditioning — an xmtpu
+    improvement over the unpreconditioned reference.  The loop then
     runs preconditioned Steihaug with the trust region measured in the
     preconditioner norm (Manopt-tCG recurrences: ``vdotv/vdotp/pdotp`` carry
     M-norms, ``rdotz`` replaces ``rdotr`` in alpha/beta); the residual-floor

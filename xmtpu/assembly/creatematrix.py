@@ -48,6 +48,14 @@ from xmtpu.io.bin_format import save_matrix_to_bin
 
 @partial(jax.jit, static_argnames=("N", "M", "dtype"))
 def _assemble(w, f, l, x, N: int, M: int, dtype=jnp.float64):
+    # f32 matmuls on TPU otherwise lower to bf16 passes (~3 decimal digits
+    # -- measured: the n=1934 mixed assembly shifted the certified optimum
+    # by 40% and flipped rotation dets); force full-f32 MXU accumulation
+    with jax.default_matmul_precision("highest"):
+        return _assemble_impl(w, f, l, x, N, M, dtype)
+
+
+def _assemble_impl(w, f, l, x, N: int, M: int, dtype):
     """Core assembly.  w:(E,) weights, f/l:(E,) 0-based frame/landmark ids,
     x:(E,3) lifted landmark observations.
 

@@ -154,6 +154,7 @@ def create_matrix_arrays(weights, edges, landmarks, precision: str = "f64"):
 
     Returns:
       C: (3N, 3N) f64 cost matrix.  Abar: (N+M-1, 3N) f64 recovery operator.
+      Both are device arrays (np.asarray() pulls them to host if needed).
     """
     edges = np.asarray(edges)
     weights = np.asarray(weights).ravel()
@@ -180,7 +181,10 @@ def create_matrix_arrays(weights, edges, landmarks, precision: str = "f64"):
         S_v = S
     if float(S_v) == 0.0:
         raise ValueError("S is 0")  # anchor guard (creatematrix.py:301-302)
-    return np.asarray(C), np.asarray(Abar)
+    # keep device residency: C is (3N)^2 and Abar (N+M-1, 3N) — pulling them
+    # through the remote tunnel costs ~720 MB at n~1900, and every consumer
+    # (solver, certificate, recovery) operates on device
+    return C, Abar
 
 
 def create_matrix(weights, edges, landmarks, output_path):

@@ -4,8 +4,9 @@ Re-design of ``recover_XM`` (/root/reference/utils/recoversolution.py:4-85),
 vectorized with batched numpy linalg (the reference loops per camera).
 
 Steps:
-* rank > 3: eigendecompose ``X = sR sR^T``, keep the top-3 eigenpairs,
-  reporting suboptimality when the rank-4 tail is non-negligible (:11-30);
+* rank > 3: top-3 eigenpairs of ``X = sR sR^T`` via a thin SVD of the
+  (3N, o) factor (the reference eigendecomposes the materialized X,
+  :11-30), reporting suboptimality when the rank-4 tail is non-negligible;
 * split each 3x3 block into scale ``s_i = ||B_i||_F / sqrt(3)`` and frame
   ``R_i = B_i / s_i`` (:42-44);
 * gauge-fix to camera 0 (:46-48);
@@ -20,8 +21,9 @@ tool; the batched eigh/svd dominate and vectorize fine.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
-from scipy.linalg import eigh
 
 
 def recover_XM_implicit(Q, R, s, lam, verbose: bool = True):
@@ -32,8 +34,6 @@ def recover_XM_implicit(Q, R, s, lam, verbose: bool = True):
     suboptimality report uses two operator applies instead of a dense
     inner product.
     """
-    import jax.numpy as jnp
-
     R = np.asarray(R, np.float64)
     s = np.asarray(s, np.float64).ravel()
     N = s.shape[0]
@@ -43,12 +43,10 @@ def recover_XM_implicit(Q, R, s, lam, verbose: bool = True):
 
     if o > 3:
         sR = sR_blocks.reshape(3 * N, o)
-        X = sR @ sR.T
-        eig_vals, eig_vecs = eigh(X)
-        idx = np.argsort(eig_vals)[::-1]
-        eig_vals = eig_vals[idx]
-        eig_vecs = eig_vecs[:, idx]
-        sR_real3 = (eig_vecs[:, :3] * np.sqrt(np.maximum(eig_vals[:3], 0.0))).T
+        # thin SVD of the (3N, o) factor == top eigenpairs of X = sR sR^T
+        U, sv, _ = np.linalg.svd(sR, full_matrices=False)
+        eig_vals = sv * sv
+        sR_real3 = (U[:, :3] * sv[:3]).T
         if abs(eig_vals[3] / eig_vals[2]) < 1e-3:
             if verbose:
                 print("Optimal rank is 3")
@@ -103,7 +101,6 @@ def recover_XM(Q, R, s, Abar, lam, verbose: bool = True):
     """
     R = np.asarray(R, np.float64)
     s = np.asarray(s, np.float64).ravel()
-    Abar = np.asarray(Abar, np.float64)
     N = s.shape[0]
     o = R.shape[1]
 
@@ -111,20 +108,29 @@ def recover_XM(Q, R, s, Abar, lam, verbose: bool = True):
 
     if o > 3:
         sR = sR_blocks.reshape(3 * N, o)
-        X = sR @ sR.T
-        eig_vals, eig_vecs = eigh(X)
-        idx = np.argsort(eig_vals)[::-1]
-        eig_vals = eig_vals[idx]
-        eig_vecs = eig_vecs[:, idx]
-        sR_real = (eig_vecs[:, :3] * np.sqrt(np.maximum(eig_vals[:3], 0.0))).T
+        # top-3 eigenpairs of X = sR sR^T are the left singular triplets of
+        # the THIN (3N, o) factor — an O(3N o^2) economy SVD instead of the
+        # reference's O((3N)^2) eigendecomposition of the materialized X
+        # (recoversolution.py:11-30; same values exactly)
+        U, sv, _ = np.linalg.svd(sR, full_matrices=False)
+        eig_vals = sv * sv                                # descending
+        sR_real = (U[:, :3] * sv[:3]).T
         if abs(eig_vals[3] / eig_vals[2]) < 1e-3:
             if verbose:
                 print("Optimal rank is 3")
         else:
-            X_new = sR_real.T @ sR_real
-            subopt = (np.sum(np.asarray(Q) * (X_new - X))
-                      + lam * np.sum((np.diag(X_new) - 1) ** 2) / 3
-                      - lam * np.sum((np.diag(X) - 1) ** 2) / 3)
+            # <Q, X_new - X> through the factors: tr(A^T Q A) - tr(B^T Q B)
+            # — device matvecs, never materializing the (3N, 3N) X
+            from xmtpu.ops.qop import as_qop
+
+            qop = as_qop(Q)
+            A = jnp.asarray(sR_real.T)
+            B = jnp.asarray(sR)
+            subopt = (float(jnp.vdot(A, qop.apply(A))
+                            - jnp.vdot(B, qop.apply(B)))
+                      + lam * np.sum((np.einsum("ij,ij->i",
+                                                sR_real.T, sR_real.T) - 1) ** 2) / 3
+                      - lam * np.sum((np.einsum("ij,ij->i", sR, sR) - 1) ** 2) / 3)
             if verbose:
                 print("suboptimality: ", subopt)
         # column-blocks of the (3, 3N) matrix, as an (N, 3, 3) batch
@@ -155,8 +161,16 @@ def recover_XM(Q, R, s, Abar, lam, verbose: bool = True):
     R_real = Rb.transpose(1, 0, 2).reshape(3, 3 * N)
     sR_real = sB.transpose(1, 0, 2).reshape(3, 3 * N)
 
-    # translations and landmarks (:75-85)
-    ybar_est = Abar @ sR_real.T                          # (N+M-1, 3)
+    # translations and landmarks (:75-85).  When Abar lives on the device
+    # (in-memory pipeline), multiply there: pulling the (N+M-1, 3N) operator
+    # through the remote tunnel costs ~450 MB at n~1900 while the product is
+    # (N+M-1, 3) — tiny.
+    if isinstance(Abar, jax.Array):
+        ybar_est = np.asarray(
+            jnp.matmul(Abar, jnp.asarray(sR_real.T),
+                       precision=jax.lax.Precision.HIGHEST))
+    else:
+        ybar_est = np.asarray(Abar, np.float64) @ sR_real.T  # (N+M-1, 3)
     y_est = np.hstack((np.zeros((3, 1)), ybar_est.T))    # (3, N+M)
     t_est = y_est[:, :N]
     p_est = y_est[:, N:]

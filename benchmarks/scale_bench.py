@@ -50,9 +50,19 @@ def main():
     jax.device_get(C[0, 0])
     print(f"dense assembly {time.time()-t0:.1f}s ({C.nbytes/1e9:.2f} GB)")
 
+    from xmtpu.ops.qop import cast_qop
+
+    cfg_i32 = tr.TRConfig(chunk=50, inner_f32=True)
+    Qm = Q.edge_f32()
+    Q32 = cast_qop(Q, jnp.float32)
+
     for name, solve in [
         ("dense_f64", lambda: tr.trust_region_solve(C, R0, s0, 0.0, tol, cfg=cfg)),
         ("schurq_f64", lambda: tr.trust_region_solve(Q, R0, s0, 0.0, tol, cfg=cfg)),
+        ("schurq_inner32", lambda: tr.trust_region_solve(
+            Q, R0, s0, 0.0, tol, cfg=cfg_i32)),
+        ("schurq_edge32", lambda: tr.trust_region_solve(
+            Qm, R0, s0, 0.0, tol, cfg=cfg_i32, Q32=Q32)),
         ("schurq_mixed", lambda: tr.trust_region_solve_mixed(Q, R0, s0, 0.0, tol, cfg=cfg)),
     ]:
         res = solve()

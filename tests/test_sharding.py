@@ -58,6 +58,55 @@ def test_sharding_layout(problem):
     assert Rs.sharding.spec[0] == "cam"
 
 
+def test_sharded_schurq_matches_single_device(problem):
+    """The factored implicit operator sharded over the mesh (edge arrays by
+    observation, VT_inv/Q1 by camera) reproduces the single-device solve."""
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.parallel.mesh import shard_schurq
+
+    scene, C = problem
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    n = Q.n_cameras
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,))
+    res_single = tr.trust_region_solve(Q, R0, s0, lam=0.0, gradtol=1e-8)
+
+    mesh = make_mesh(8)
+    Qs = shard_schurq(mesh, Q)
+    # edge payload sharded over observations; Q1 over cameras.  VT_inv has
+    # n-1 rows (15 here) — indivisible by the mesh, so it replicates.
+    assert not Qs.wx_f.is_fully_replicated
+    assert not Qs.Q1.is_fully_replicated
+    assert Qs.VT_inv.sharding.spec == jax.sharding.PartitionSpec()
+    res_shard = tr.trust_region_solve(Qs, R0, s0, lam=0.0, gradtol=1e-8)
+    np.testing.assert_allclose(float(res_shard.primal),
+                               float(res_single.primal), rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_sharded_schurq_staircase_and_edge_f32(problem):
+    """Certified staircase through the sharded implicit operator, including
+    the mixed-edge (edge_f32) stage path."""
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.parallel.mesh import solve_arrays_sharded
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C = problem
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    res_single = solve_arrays(Q, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    mesh = make_mesh(8)
+    res_shard = solve_arrays_sharded(mesh, Q, max_rank=4, tol=1e-8, lam=0.0,
+                                     verbose=False)
+    assert res_shard.certified == res_single.certified
+    np.testing.assert_allclose(res_shard.primal, res_single.primal,
+                               rtol=1e-9, atol=1e-12)
+
+    res_mix = solve_arrays_sharded(mesh, Q, max_rank=4, tol=1e-4, lam=0.0,
+                                   verbose=False, edge_f32=True,
+                                   inner_f32=True)
+    assert np.isfinite(res_mix.primal)
+
+
 def test_sharded_staircase_certifies(problem):
     """The full certified staircase (fused stage+certificate program) runs
     under GSPMD with the cost matrix row-sharded over the 8-device mesh and

@@ -236,6 +236,151 @@ class SchurQ(QOperator):
         return jnp.concatenate([-z_A, -z_B], axis=0)
 
 
+    def edge_f32(self) -> "SchurQEdgeF32":
+        """Derive the mixed-precision operator (f32 edge reductions inside an
+        f64 apply).  See :class:`SchurQEdgeF32`."""
+        return _make_edge_f32(self)
+
+
+def _split_f32(x):
+    """Two-float split: ``x ~= hi + lo`` with both parts f32.  The lo part
+    carries the bits below f32's 24-bit mantissa so products against split
+    coefficients recover ~f64 representation accuracy at f32 cost."""
+    hi = x.astype(jnp.float32)
+    return hi, (x - hi.astype(x.dtype)).astype(jnp.float32)
+
+
+@register_pytree_node_class
+@dataclass
+class SchurQEdgeF32(QOperator):
+    """SchurQ with the edge reductions in hardware f32.
+
+    TPU f64 is software-emulated; at the n=1934 testbed the implicit matvec
+    spends ~100 of its ~130 ms in f64 edge gathers / per-edge einsums /
+    segment sums (docs/PERFORMANCE.md "operator decision") while the actual
+    f64-critical piece — the (n-1)^2 ``VT^-1`` GEMM resolving the Schur
+    cancellation — costs 3.8 ms.  This operator keeps the *structure* of
+    :class:`SchurQ.apply` but runs every O(E) term through two-float (hi/lo)
+    f32 arithmetic:
+
+    * edge coefficients (``wx``, ``cf``) are pre-split into f32 hi/lo pairs;
+    * the thin per-call operands (``Y`` blocks, ``z_B``) are split on the fly
+      (elementwise f64 ops over small arrays — cheap, only matmul emulation
+      is ~40x);
+    * each reduction computes ``sum(hi*hi)`` and the first-order correction
+      ``sum(hi*lo + lo*hi)`` as two f32 segment sums, combined in f64.
+
+    Residual error is the f32 *accumulation* noise of the hi-product sums,
+    ~sqrt(k_seg) * eps_f32 relative to the absolute-sum scale (measured
+    ~1e-7..1e-6 relative on the operator output) — far below the pipeline's
+    loose operating tolerances (tol 1e-1..1e-3).  The certificate and the
+    recovery path always use the exact f64 :class:`SchurQ`
+    (``staircase.solve_arrays(edge_f32=True)`` wires this split).
+    """
+
+    Q1: jax.Array
+    V1: jax.Array
+    f_l: jax.Array
+    l_l: jax.Array
+    f_f: jax.Array
+    l_f: jax.Array
+    wxh_l: jax.Array
+    wxl_l: jax.Array
+    cfh_l: jax.Array
+    cfl_l: jax.Array
+    wxh_f: jax.Array
+    wxl_f: jax.Array
+    cfh_f: jax.Array
+    cfl_f: jax.Array
+    inv_q3: jax.Array
+    inv_sqrt_q3: jax.Array
+    VT_inv: jax.Array
+
+    def tree_flatten(self):
+        return ((self.Q1, self.V1, self.f_l, self.l_l, self.f_f, self.l_f,
+                 self.wxh_l, self.wxl_l, self.cfh_l, self.cfl_l,
+                 self.wxh_f, self.wxl_f, self.cfh_f, self.cfl_f,
+                 self.inv_q3, self.inv_sqrt_q3, self.VT_inv), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_cameras(self) -> int:
+        return self.Q1.shape[0]
+
+    @property
+    def n_landmarks(self) -> int:
+        return self.inv_q3.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return 3 * self.n_cameras
+
+    def diag_blocks(self):
+        return self.Q1
+
+    # ---- f32 edge reductions with hi/lo compensation ----
+
+    def _seg2(self, hi, lo, ids, num):
+        """Two f32 segment sums combined in f64."""
+        sh = _seg_sum(hi, ids, num)
+        sl = _seg_sum(lo, ids, num)
+        return sh.astype(self.Q1.dtype) + sl.astype(self.Q1.dtype)
+
+    def _vtpT(self, Yb):
+        b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
+        Yh, Yl = _split_f32(Yb)
+        gh, gl = Yh[self.f_l], Yl[self.f_l]
+        th = jnp.einsum("ea,eao->eo", self.wxh_l, gh)
+        tl = (jnp.einsum("ea,eao->eo", self.wxh_l, gl)
+              + jnp.einsum("ea,eao->eo", self.wxl_l, gh))
+        b_B = -self._seg2(th, tl, self.l_l, self.n_landmarks)
+        return b_A, b_B
+
+    def _vtp(self, z_A, z_B):
+        z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
+        out = jnp.einsum("na,no->nao", self.V1, z_t)
+        zh, zl = _split_f32(z_B)
+        gh, gl = zh[self.l_f], zl[self.l_f]
+        th = jnp.einsum("ea,eo->eao", self.wxh_f, gh)
+        tl = (jnp.einsum("ea,eo->eao", self.wxh_f, gl)
+              + jnp.einsum("ea,eo->eao", self.wxl_f, gh))
+        return out - self._seg2(th, tl, self.f_f, self.n_cameras)
+
+    def _v3f(self, z_B):
+        zh, zl = _split_f32(z_B)
+        gh, gl = zh[self.l_f], zl[self.l_f]
+        th = self.cfh_f[:, None] * gh
+        tl = self.cfh_f[:, None] * gl + self.cfl_f[:, None] * gh
+        return self._seg2(th, tl, self.f_f, self.n_cameras)[1:]
+
+    def _v3fT(self, x_A):
+        x_pad = jnp.concatenate([jnp.zeros_like(x_A[:1]), x_A], axis=0)
+        xh, xl = _split_f32(x_pad)
+        gh, gl = xh[self.f_l], xl[self.f_l]
+        th = self.cfh_l[:, None] * gh
+        tl = self.cfh_l[:, None] * gl + self.cfl_l[:, None] * gh
+        return self._seg2(th, tl, self.l_l, self.n_landmarks)
+
+    solve_M = SchurQ.solve_M
+    apply = SchurQ.apply
+    recover_y = SchurQ.recover_y
+
+
+@jax.jit
+def _make_edge_f32(q: SchurQ) -> SchurQEdgeF32:
+    wxh_l, wxl_l = _split_f32(q.wx_l)
+    cfh_l, cfl_l = _split_f32(q.cf_l)
+    wxh_f, wxl_f = _split_f32(q.wx_f)
+    cfh_f, cfl_f = _split_f32(q.cf_f)
+    return SchurQEdgeF32(q.Q1, q.V1, q.f_l, q.l_l, q.f_f, q.l_f,
+                         wxh_l, wxl_l, cfh_l, cfl_l,
+                         wxh_f, wxl_f, cfh_f, cfl_f,
+                         q.inv_q3, q.inv_sqrt_q3, q.VT_inv)
+
+
 # above this (N * M * 8 bytes) the build switches from one (N, M) V3F slab
 # to landmark-chunked Gram accumulation (~4 GB default, same order as the
 # dense-C assembly budget in xm2.choose_implicit)

@@ -101,17 +101,73 @@ def solve_sharded(mesh: Mesh, C, R0, s_ex0, lam=0.0, gradtol=1e-6,
                                  cfg=cfg)
 
 
+def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
+    """Place a factored :class:`~xmtpu.ops.schurq.SchurQ` (or its mixed-edge
+    variant) over a 1-D device mesh.
+
+    Sharding layout — the implicit operator's multi-chip story (the dense
+    path row-shards C; here the *factors* shard):
+
+    * per-camera leaves (``Q1``, ``V1``) and the ``VT_inv`` rows: split over
+      the camera axis — the (n-1)^2 GEMM resolving the Schur complement
+      becomes a row-panel matmul with its thin (n-1, o) operand all-gathered
+      over ICI, exactly like the dense path's hot GEMM;
+    * edge arrays (both sorted orderings): split over the observation axis;
+      frame/landmark ``segment_sum`` reductions become local partial sums +
+      a GSPMD-inserted scatter/psum at shard boundaries (edges are sorted,
+      so only segments straddling a shard edge communicate);
+    * landmark vectors (``inv_q3``…) and segment bounds: replicated (O(M)
+      scalars, negligible next to the O(E) edge payload).
+
+    The solver and certificate are unchanged — GSPMD propagates the
+    shardings through the jitted stage programs.
+    """
+    from dataclasses import fields, replace
+
+    from xmtpu.ops.qop import QOperator
+
+    assert isinstance(Q, QOperator) and not hasattr(Q, "C")
+    row1 = P(axis)
+    row2 = P(axis, None)
+    row3 = P(axis, None, None)
+    specs = {
+        "Q1": row3, "V1": row2, "VT_inv": row2,
+        # edge leaves: 1-D coefficients/ids vs (e, 3) coordinate rows
+        "f_l": row1, "l_l": row1, "f_f": row1, "l_f": row1,
+        "wx_l": row2, "wx_f": row2, "cf_l": row1, "cf_f": row1,
+        "wxh_l": row2, "wxl_l": row2, "wxh_f": row2, "wxl_f": row2,
+        "cfh_l": row1, "cfl_l": row1, "cfh_f": row1, "cfl_f": row1,
+    }
+    n_dev = mesh.devices.size
+    out = {}
+    for f in fields(Q):
+        val = getattr(Q, f.name)
+        spec = specs.get(f.name, P())  # bounds / landmark vectors replicate
+        if spec != P() and val.shape[0] % n_dev != 0:
+            # device_put is strict about divisibility (unlike GSPMD inside
+            # jit); an indivisible leading dim (e.g. VT_inv's n-1 rows)
+            # replicates — real deployments size n to the mesh
+            spec = P()
+        out[f.name] = jax.device_put(val, NamedSharding(mesh, spec))
+    return replace(Q, **out)
+
+
 def solve_arrays_sharded(mesh: Mesh, C, axis: str = "cam", **kwargs):
-    """Full certified staircase (``solve_arrays``) with the cost matrix
-    row-sharded by camera block over the mesh.
+    """Full certified staircase (``solve_arrays``) with the cost operator
+    sharded over the mesh — dense C row-sharded by camera block, factored
+    SchurQ sharded per :func:`shard_schurq`.
 
     The staircase's fused stage+certificate program then runs under GSPMD:
     the hot GEMMs row-panel over the mesh with psum'd reductions; the
     certificate's batched dual solves shard along cameras.  Results are
     bitwise-independent of the mesh size (tests/test_sharding.py).
     """
+    from xmtpu.ops.qop import QOperator
     from xmtpu.solver.staircase import solve_arrays
 
-    C = jax.device_put(jnp.asarray(C, jnp.float64),
-                       NamedSharding(mesh, P(axis, None)))
+    if isinstance(C, QOperator) and not hasattr(C, "C"):
+        C = shard_schurq(mesh, C, axis)
+    else:
+        C = jax.device_put(jnp.asarray(C, jnp.float64),
+                           NamedSharding(mesh, P(axis, None)))
     return solve_arrays(C, **kwargs)

@@ -117,15 +117,18 @@ def _solve_recover(op, Abar, implicit, max_rank, tol, lam, max_time, verbose,
 
         # production policy: at the pipeline's loose tolerances the implicit
         # operator's f64-emulated edge reductions dominate; run the tCG
-        # Hessian applies in f32 (the f64 rho test guards the model) —
-        # measured 2.2x on the n=1934 testbed at identical optima
+        # Hessian applies in f32 (the f64 rho test guards the model —
+        # measured 2.2x on the n=1934 testbed at identical optima) and the
+        # outer-iteration applies on the two-float mixed-edge operator
+        # (~1e-7 relative operator error; certificate/recovery stay exact)
         inner_f32 = tol >= 1e-3
         if rank3_probe:
             return solve_arrays(op, 3, tol, lam, max_time, rank3_only=True,
                                 verbose=verbose, precision=precision,
-                                inner_f32=inner_f32), None
+                                inner_f32=inner_f32, edge_f32=inner_f32), None
         res = solve_arrays(op, max_rank, tol, lam, max_time, verbose=verbose,
-                           precision=precision, inner_f32=inner_f32)
+                           precision=precision, inner_f32=inner_f32,
+                           edge_f32=inner_f32)
         return res, recover_XM_implicit(op, res.R, res.s_ex, lam,
                                         verbose=verbose)
     if rank3_probe:

@@ -280,15 +280,16 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
 
 
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
-           precision: str = "f64", inner_f32: bool = False):
+           precision: str = "f64", inner_f32: bool = False, Q32=None):
     cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
     if escape_dir is None:
-        res = solver(C, R0, s_ex0, lam, gradtol, cfg=cfg)
+        res = solver(C, R0, s_ex0, lam, gradtol, cfg=cfg, Q32=Q32)
     else:
         res = solver(C, R0, s_ex0, lam, gradtol,
-                     escape_dir=escape_dir, linesearch_step=1.0, cfg=cfg)
+                     escape_dir=escape_dir, linesearch_step=1.0, cfg=cfg,
+                     Q32=Q32)
     if verbose:
         o = R0.shape[2]
         print(f"[xm] rank {o}: primal={float(res.primal):.6e} "
@@ -301,6 +302,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  max_time: float = 1000.0, s0_ex: Optional[np.ndarray] = None,
                  rank3_only: bool = False, verbose: bool = True,
                  precision: str = "f64", inner_f32: bool = False,
+                 edge_f32: bool = False,
                  checkpoint_path: Optional[str] = None,
                  resume_from: Optional[str] = None) -> SolveResult:
     """In-memory staircase solve (the reference's file-based ``solve`` without
@@ -312,6 +314,10 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
       rank3_only: single rank-3 TR solve, no certificate (solve_rank3).
       precision: "f64" (reference parity) or "mixed" (f32 bulk + f64 polish —
         the TPU fast path; certificates always run in f64).
+      edge_f32: for implicit (SchurQ) operators, run the TR stages on the
+        two-float mixed operator (f32 edge reductions, f64 VT GEMM —
+        :class:`xmtpu.ops.schurq.SchurQEdgeF32`); the certificate and any
+        recovery stay on the exact f64 operator.  No effect on dense C.
       checkpoint_path: save the staircase position after every rank stage.
       resume_from: restore a saved staircase position (fine-grained analog of
         the reference's solve_rebuttle warm start).
@@ -330,6 +336,14 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     dense = hasattr(Cq, "C")
     C32q = (cast_qop(Cq, jnp.float32)
             if dense and (precision == "mixed" or inner_f32) else None)
+    stage_q = Cq
+    stage_q32 = None
+    if edge_f32 and not dense and hasattr(Cq, "edge_f32"):
+        stage_q = Cq.edge_f32()
+        if precision == "mixed" or inner_f32:
+            # inner tCG / f32 phase cast from the BASE operator: single
+            # product terms, no hi/lo double work
+            stage_q32 = cast_qop(Cq, jnp.float32)
     bound = _min_eig_bound(n)
     gradtol = float(tol)
 
@@ -371,8 +385,9 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                 linesearch_step=(1.0 if escape_dir is not None else 0.0))
             primal_v, reason_v, outer_v, inner_v = scal
         else:
-            res = _stage(C, R0, s_ex, lam, gradtol, max_time, escape_dir,
-                         verbose, precision, inner_f32)
+            res = _stage(stage_q, R0, s_ex, lam, gradtol, max_time,
+                         escape_dir, verbose, precision, inner_f32,
+                         Q32=stage_q32)
             # one batched scalar fetch per stage
             primal_v, reason_v, outer_v, inner_v = (
                 np.asarray(x) for x in jax.device_get(

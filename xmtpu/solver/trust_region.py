@@ -495,7 +495,8 @@ def _escape_linesearch(Q, R, s_ex, v_scaled, step0, lam, cfg: TRConfig):
 
 def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                        escape_dir=None, linesearch_step=0.0,
-                       cfg: TRConfig = TRConfig(), dtype=None) -> TRResult:
+                       cfg: TRConfig = TRConfig(), dtype=None,
+                       Q32=None) -> TRResult:
     """Solve ``min <sR, Q sR> + lam sum((s^2-1)^2)`` over the product manifold.
 
     Drop-in semantic equivalent of ``XMtrustregion`` (trustregion.h:77).
@@ -512,6 +513,10 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
         emulated on TPU).  ``jnp.float32`` runs the whole iteration — state,
         GEMMs, reductions — in hardware f32; pair it with an f32 ``Q`` and a
         loosened ``cfg.rdotr_min`` (~1e-7; see ``TRConfig.for_dtype``).
+      Q32: optional explicit f32 operator for the ``cfg.inner_f32`` tCG
+        Hessian applies (defaults to a leaf-cast of ``Q``).  Callers running
+        the outer loop on a mixed-edge operator pass the cast of the *base*
+        operator here so the inner loop doesn't pay the hi/lo double work.
     """
     if dtype is None:
         dtype = jnp.asarray(R0).dtype
@@ -538,14 +543,17 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
 
     st = _init_state(Q, R_cur, s_cur, lam, delta_bar_j, cfg)
 
-    Q32 = None
+    Q32_inner = None
     if cfg.inner_f32 and dtype == jnp.float64:
-        from xmtpu.ops.qop import cast_qop
-        Q32 = cast_qop(Q, jnp.float32)
+        if Q32 is not None:
+            Q32_inner = Q32
+        else:
+            from xmtpu.ops.qop import cast_qop
+            Q32_inner = cast_qop(Q, jnp.float32)
 
     deadline = time.monotonic() + cfg.max_time
     return continue_chunks(Q, st, lam, gradtol, delta_bar_j, cfg,
-                           Q32=Q32, k_done=0, deadline=deadline)
+                           Q32=Q32_inner, k_done=0, deadline=deadline)
 
 
 def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
@@ -587,7 +595,7 @@ def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
 
 def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                              escape_dir=None, linesearch_step=0.0,
-                             cfg: TRConfig = TRConfig()) -> TRResult:
+                             cfg: TRConfig = TRConfig(), Q32=None) -> TRResult:
     """Two-phase precision ladder: f32 bulk, f64 polish.
 
     TPU f64 matmul is software-emulated (~40x slower than f32 on v5e), while
@@ -616,7 +624,8 @@ def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
         R0, s_ex0 = res_ls.R, res_ls.s_ex
 
     cfg32, gradtol32 = cfg.f32_ladder(gradtol)
-    Q32 = cast_qop(Q, jnp.float32)
+    if Q32 is None:
+        Q32 = cast_qop(Q, jnp.float32)
     res32 = trust_region_solve(Q32, R0.astype(jnp.float32),
                                s_ex0.astype(jnp.float32), lam,
                                gradtol32, cfg=cfg32, dtype=jnp.float32)
@@ -624,7 +633,7 @@ def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
     # f64 polish from the f32 iterate (re-orthonormalize in f64 first)
     R1 = mf.mgs_rows(res32.R.astype(jnp.float64))
     s1 = res32.s_ex.astype(jnp.float64).at[0].set(1.0)
-    res64 = trust_region_solve(Q, R1, s1, lam, gradtol, cfg=cfg)
+    res64 = trust_region_solve(Q, R1, s1, lam, gradtol, cfg=cfg, Q32=Q32)
     return TRResult(res64.R, res64.s_ex, res64.primal, res64.gradnorm,
                     res32.outer_iters + res64.outer_iters,
                     res32.total_inner + res64.total_inner,

@@ -53,7 +53,8 @@ def main():
     from xmtpu.ops.qop import cast_qop
 
     cfg_i32 = tr.TRConfig(chunk=50, inner_f32=True)
-    Qm = Q.edge_f32()
+    Qm = Q.edge_f32(pallas=False)     # XLA-scatter mixed-edge baseline
+    Qp = Q.edge_f32(pallas=True)      # Pallas sorted-segment-sum edge path
     Q32 = cast_qop(Q, jnp.float32)
 
     for name, solve in [
@@ -63,6 +64,8 @@ def main():
             Q, R0, s0, 0.0, tol, cfg=cfg_i32)),
         ("schurq_edge32", lambda: tr.trust_region_solve(
             Qm, R0, s0, 0.0, tol, cfg=cfg_i32, Q32=Q32)),
+        ("schurq_edge32_pallas", lambda: tr.trust_region_solve(
+            Qp, R0, s0, 0.0, tol, cfg=cfg_i32, Q32=Q32)),
         ("schurq_mixed", lambda: tr.trust_region_solve_mixed(Q, R0, s0, 0.0, tol, cfg=cfg)),
     ]:
         res = solve()

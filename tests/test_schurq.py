@@ -164,6 +164,41 @@ def test_edge_f32_staircase_certifies_same_optimum(problem):
                                atol=1e-8)
 
 
+def test_edge_f32_pallas_apply_matches(problem):
+    """The Pallas sorted-segment-sum edge path (interpret mode on CPU) is
+    numerically equivalent to the XLA-scatter mixed-edge path: same hi/lo
+    split, same f32 sums, only the reduction schedule differs."""
+    scene, C, Abar, Q = problem
+    Qm = Q.edge_f32(pallas=False)
+    Qp = Q.edge_f32(pallas=True)
+    assert Qm.band_l == Qm.band_f == 0
+    assert Qp.band_l > 0 and Qp.band_f > 0 and Qp.interpret
+    rng = np.random.default_rng(7)
+    Y = jnp.asarray(rng.normal(size=(C.shape[0], 4)))
+    exact = np.asarray(Q.apply(Y))
+    pall = np.asarray(Qp.apply(Y))
+    scale = np.linalg.norm(exact)
+    assert np.linalg.norm(pall - exact) / scale < 1e-6
+    # and against the scatter-based mixed path: same floor
+    mixed = np.asarray(Qm.apply(Y))
+    assert np.linalg.norm(pall - mixed) / scale < 1e-6
+
+
+def test_edge_f32_pallas_staircase(problem):
+    """solve_arrays(edge_f32=True, edge_pallas=True) certifies at the same
+    optimum as the scatter-based mixed path."""
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C, Abar, Q = problem
+    res_mix = solve_arrays(Q, max_rank=4, tol=1e-6, lam=0.0, verbose=False,
+                           edge_f32=True)
+    res_pal = solve_arrays(Q, max_rank=4, tol=1e-6, lam=0.0, verbose=False,
+                           edge_f32=True, edge_pallas=True)
+    assert res_pal.certified == res_mix.certified
+    np.testing.assert_allclose(res_pal.primal, res_mix.primal, rtol=0.3,
+                               atol=1e-8)
+
+
 def test_choose_implicit_policy():
     """Dense while it fits, implicit beyond (docs/PERFORMANCE.md)."""
     from xmtpu.pipeline.xm2 import choose_implicit

@@ -58,8 +58,12 @@ def _kernel(ids_ref, vals_ref, out_ref, *, band, use_mxu):
               == local[None, :])
     vals = vals_ref[:, :]
     if use_mxu:
+        # HIGHEST: the TPU f32 matmul default is bf16 passes — measured
+        # 6e-3 relative error on real hardware without it (the one-hot
+        # matrix is exact; the values are not)
         partial = jnp.dot(onehot.astype(vals.dtype), vals,
-                          preferred_element_type=vals.dtype)
+                          preferred_element_type=vals.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
     else:
         # exact masked reduction (f64: avoid emulated MXU)
         partial = jnp.sum(
@@ -95,11 +99,14 @@ def sorted_segment_sum(vals: jax.Array, seg_ids: jax.Array, num_segments: int,
     out = pl.pallas_call(
         functools.partial(_kernel, band=band, use_mxu=use_mxu),
         grid=(E // chunk,),
+        # index maps derive every coordinate from the (i32) program id —
+        # literal 0 would trace as i64 under jax_enable_x64 and the mixed
+        # (i32, i64) index tuple fails Mosaic legalization
         in_specs=[
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-            pl.BlockSpec((chunk, D), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, 1), lambda i: (i, i * 0)),
+            pl.BlockSpec((chunk, D), lambda i: (i, i * 0)),
         ],
-        out_specs=pl.BlockSpec((out_rows, D), lambda i: (0, 0)),
+        out_specs=pl.BlockSpec((out_rows, D), lambda i: (i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((out_rows, D), vals.dtype),
         interpret=interpret,
     )(seg_ids[:, None].astype(jnp.int32), vals)

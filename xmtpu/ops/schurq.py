@@ -236,10 +236,35 @@ class SchurQ(QOperator):
         return jnp.concatenate([-z_A, -z_B], axis=0)
 
 
-    def edge_f32(self) -> "SchurQEdgeF32":
+    def edge_f32(self, pallas: "bool | None" = None) -> "SchurQEdgeF32":
         """Derive the mixed-precision operator (f32 edge reductions inside an
-        f64 apply).  See :class:`SchurQEdgeF32`."""
-        return _make_edge_f32(self)
+        f64 apply).  See :class:`SchurQEdgeF32`.
+
+        ``pallas``: run the f32 segment reductions through the Pallas
+        sorted-segment-sum kernel (band bounds computed here from the sorted
+        edge ids).  Default ``None`` enables it on a TPU backend when the
+        edge arrays live on a single device (the kernel does not
+        auto-partition under GSPMD — sharded operators keep XLA scatter).
+        On non-TPU backends ``pallas=True`` runs the kernel in interpreter
+        mode (tests)."""
+        import dataclasses
+
+        q = _make_edge_f32(self)
+        if pallas is None:
+            try:
+                single = len(self.f_l.sharding.device_set) == 1
+            except AttributeError:
+                single = True
+            pallas = jax.default_backend() == "tpu" and single
+        if pallas:
+            from xmtpu.ops.pallas_segsum import max_band
+
+            l_ids, f_ids = jax.device_get((self.l_l, self.f_f))
+            q = dataclasses.replace(
+                q, band_l=max_band(np.asarray(l_ids)),
+                band_f=max_band(np.asarray(f_ids)),
+                interpret=jax.default_backend() != "tpu")
+        return q
 
 
 def _split_f32(x):
@@ -270,6 +295,15 @@ class SchurQEdgeF32(QOperator):
     * each reduction computes ``sum(hi*hi)`` and the first-order correction
       ``sum(hi*lo + lo*hi)`` as two f32 segment sums, combined in f64.
 
+    When ``band_l``/``band_f`` are set (static aux; see
+    :meth:`SchurQ.edge_f32`), both f32 segment sums of a reduction run as ONE
+    Pallas sorted-segment-sum kernel (`xmtpu.ops.pallas_segsum`) — the sorted
+    edge order makes each fixed chunk touch a contiguous band of segments, so
+    the scatter-add becomes a sequential-grid one-hot matmul on the MXU
+    instead of XLA scatter HLO.  Bands of 0 keep the XLA ``segment_sum``
+    path (required when the edge arrays are sharded over a mesh: the kernel
+    does not auto-partition).
+
     Residual error is the f32 *accumulation* noise of the hi-product sums,
     ~sqrt(k_seg) * eps_f32 relative to the absolute-sum scale (measured
     ~1e-7..1e-6 relative on the operator output) — far below the pipeline's
@@ -295,16 +329,23 @@ class SchurQEdgeF32(QOperator):
     inv_q3: jax.Array
     inv_sqrt_q3: jax.Array
     VT_inv: jax.Array
+    # static (pytree aux): Pallas segment-sum bands per sorted ordering;
+    # 0 = XLA segment_sum.  interpret runs the kernel in interpreter mode
+    # (CPU tests).
+    band_l: int = 0
+    band_f: int = 0
+    interpret: bool = False
 
     def tree_flatten(self):
         return ((self.Q1, self.V1, self.f_l, self.l_l, self.f_f, self.l_f,
                  self.wxh_l, self.wxl_l, self.cfh_l, self.cfl_l,
                  self.wxh_f, self.wxl_f, self.cfh_f, self.cfl_f,
-                 self.inv_q3, self.inv_sqrt_q3, self.VT_inv), None)
+                 self.inv_q3, self.inv_sqrt_q3, self.VT_inv),
+                (self.band_l, self.band_f, self.interpret))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
     @property
     def n_cameras(self) -> int:
@@ -323,11 +364,29 @@ class SchurQEdgeF32(QOperator):
 
     # ---- f32 edge reductions with hi/lo compensation ----
 
-    def _seg2(self, hi, lo, ids, num):
-        """Two f32 segment sums combined in f64."""
+    def _seg2(self, hi, lo, ids, num, band=0):
+        """Two f32 segment sums combined in f64.
+
+        ``band > 0``: one Pallas sorted-segment-sum call over the hi/lo pair
+        (columns concatenated so the kernel's one-hot matmul reduces both at
+        once)."""
+        dt = self.Q1.dtype
+        if band:
+            from xmtpu.ops.pallas_segsum import sorted_segment_sum
+
+            shape = hi.shape
+            d = 1
+            for s in shape[1:]:
+                d *= s
+            both = jnp.concatenate(
+                [hi.reshape(shape[0], d), lo.reshape(shape[0], d)], axis=1)
+            s2 = sorted_segment_sum(both, ids, num, band,
+                                    interpret=self.interpret)
+            out = s2[:, :d].astype(dt) + s2[:, d:].astype(dt)
+            return out.reshape((num,) + shape[1:])
         sh = _seg_sum(hi, ids, num)
         sl = _seg_sum(lo, ids, num)
-        return sh.astype(self.Q1.dtype) + sl.astype(self.Q1.dtype)
+        return sh.astype(dt) + sl.astype(dt)
 
     def _vtpT(self, Yb):
         b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
@@ -336,7 +395,7 @@ class SchurQEdgeF32(QOperator):
         th = jnp.einsum("ea,eao->eo", self.wxh_l, gh)
         tl = (jnp.einsum("ea,eao->eo", self.wxh_l, gl)
               + jnp.einsum("ea,eao->eo", self.wxl_l, gh))
-        b_B = -self._seg2(th, tl, self.l_l, self.n_landmarks)
+        b_B = -self._seg2(th, tl, self.l_l, self.n_landmarks, self.band_l)
         return b_A, b_B
 
     def _vtp(self, z_A, z_B):
@@ -347,14 +406,14 @@ class SchurQEdgeF32(QOperator):
         th = jnp.einsum("ea,eo->eao", self.wxh_f, gh)
         tl = (jnp.einsum("ea,eo->eao", self.wxh_f, gl)
               + jnp.einsum("ea,eo->eao", self.wxl_f, gh))
-        return out - self._seg2(th, tl, self.f_f, self.n_cameras)
+        return out - self._seg2(th, tl, self.f_f, self.n_cameras, self.band_f)
 
     def _v3f(self, z_B):
         zh, zl = _split_f32(z_B)
         gh, gl = zh[self.l_f], zl[self.l_f]
         th = self.cfh_f[:, None] * gh
         tl = self.cfh_f[:, None] * gl + self.cfl_f[:, None] * gh
-        return self._seg2(th, tl, self.f_f, self.n_cameras)[1:]
+        return self._seg2(th, tl, self.f_f, self.n_cameras, self.band_f)[1:]
 
     def _v3fT(self, x_A):
         x_pad = jnp.concatenate([jnp.zeros_like(x_A[:1]), x_A], axis=0)
@@ -362,7 +421,7 @@ class SchurQEdgeF32(QOperator):
         gh, gl = xh[self.f_l], xl[self.f_l]
         th = self.cfh_l[:, None] * gh
         tl = self.cfh_l[:, None] * gl + self.cfl_l[:, None] * gh
-        return self._seg2(th, tl, self.l_l, self.n_landmarks)
+        return self._seg2(th, tl, self.l_l, self.n_landmarks, self.band_l)
 
     solve_M = SchurQ.solve_M
     apply = SchurQ.apply

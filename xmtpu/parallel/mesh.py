@@ -142,6 +142,11 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
     out = {}
     for f in fields(Q):
         val = getattr(Q, f.name)
+        if not hasattr(val, "shape"):
+            # static aux (e.g. SchurQEdgeF32 Pallas bands) — never device_put;
+            # the Pallas kernel doesn't partition, so bands stay 0 when
+            # sharding (edge_f32's auto policy keeps XLA scatter here)
+            continue
         spec = specs.get(f.name, P())  # bounds / landmark vectors replicate
         if spec != P() and val.shape[0] % n_dev != 0:
             # device_put is strict about divisibility (unlike GSPMD inside

@@ -303,6 +303,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  rank3_only: bool = False, verbose: bool = True,
                  precision: str = "f64", inner_f32: bool = False,
                  edge_f32: bool = False,
+                 edge_pallas: Optional[bool] = None,
                  checkpoint_path: Optional[str] = None,
                  resume_from: Optional[str] = None) -> SolveResult:
     """In-memory staircase solve (the reference's file-based ``solve`` without
@@ -318,6 +319,9 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
         two-float mixed operator (f32 edge reductions, f64 VT GEMM —
         :class:`xmtpu.ops.schurq.SchurQEdgeF32`); the certificate and any
         recovery stay on the exact f64 operator.  No effect on dense C.
+      edge_pallas: with ``edge_f32``, route the mixed operator's f32 segment
+        reductions through the Pallas sorted-segment-sum kernel (None = auto:
+        TPU backend, single-device operator; see ``SchurQ.edge_f32``).
       checkpoint_path: save the staircase position after every rank stage.
       resume_from: restore a saved staircase position (fine-grained analog of
         the reference's solve_rebuttle warm start).
@@ -339,7 +343,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     stage_q = Cq
     stage_q32 = None
     if edge_f32 and not dense and hasattr(Cq, "edge_f32"):
-        stage_q = Cq.edge_f32()
+        stage_q = Cq.edge_f32(pallas=edge_pallas)
         if precision == "mixed" or inner_f32:
             # inner tCG / f32 phase cast from the BASE operator: single
             # product terms, no hi/lo double work

@@ -44,10 +44,12 @@ def main():
               precision="mixed", inner_f32=True)
 
     # warmup (compile; persistent cache makes this fast on reruns)
+    path = "mixed_inner_f32"
     res = solve_arrays(Q, **kw)
     if not res.certified:
         # BM rank-3 basin safety net: fall back to the reference-parity f64
         # path (slower but certification is deterministic there)
+        path = "f64_fallback"
         kw = dict(max_rank=3, tol=1e-16, lam=0.0, max_time=1000,
                   verbose=False)
         res = solve_arrays(Q, **kw)
@@ -63,12 +65,103 @@ def main():
     assert res.certified, "SIMPLE1 must certify at rank 3"
     value = float(np.median(times))
 
-    print(json.dumps({
+    # Scale metric (VERDICT r1 item 5): certified implicit (SchurQ) staircase
+    # on the fixed n~2000-class synthetic testbed, mixed-edge f32 + Pallas
+    # segment sums — the number that tracks the actual production path.
+    # Shapes are pinned so the persistent compile cache hits across rounds.
+    extra = {}
+    if os.environ.get("XMTPU_BENCH_SCALE", "1") != "0":
+        try:
+            extra = _scale_metric()
+        except Exception as e:  # headline must still print
+            extra = {"scale_error": f"{type(e).__name__}: {e}"}
+
+    out = {
         "metric": "simple1_certified_solve",
         "value": round(value, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / value, 3),
-    }))
+        # which precision path the headline measured (VERDICT r1 weak-7:
+        # the fallback must not silently change the metric's meaning)
+        "path": path,
+        "primal": float(res.primal),
+        "gap": float(res.gap),
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
+# Round-1 measured rank-3 TR solve at the n=1934 scale testbed: implicit
+# SchurQ operator, two-float f32 edge reductions + f32 inner Hessian applies,
+# tol=1e-1 (the reference's BAL operating point).  Measured interactively in
+# round 1 (docs/PERFORMANCE.md "scale testbed", scale_bench schurq_edge32
+# row); from round 2 it is driver-captured here with identical shapes so the
+# persistent compile cache hits (CLAUDE.md rule 7).
+SCALE_BASELINE_S = 2.66
+
+
+def _scale_metric():
+    """Scale-path metric: the n=1934 implicit TR solve + exact certificate.
+
+    Same scene and solver configuration as benchmarks/scale_bench.py
+    (n_cameras=1934, n_points=7736, obs_per_camera=60, seed=0, tol=1e-1,
+    chunk=50) so the timing is apples-to-apples with the round-1 number and
+    every round replays the same compiled programs.  Reports both the Pallas
+    sorted-segment-sum edge path (the production default on a single TPU
+    chip) and the XLA-scatter variant.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xmtpu.ops import manifold as mf
+    from xmtpu.ops.qop import cast_qop
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver import trust_region as tr
+    from xmtpu.solver.certificate import certify
+
+    n_cam = 1934
+    scene = make_scene(n_cameras=n_cam, n_points=max(2000, 4 * n_cam),
+                       obs_per_camera=60, noise=1e-3, seed=0)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    Q32 = cast_qop(Q, jnp.float32)
+    R0 = mf.identity_frames(n_cam, 3)
+    s0 = jnp.ones((n_cam,), jnp.float64)
+    cfg = tr.TRConfig(chunk=50, inner_f32=True)
+
+    def run(op):
+        return tr.trust_region_solve(op, R0, s0, 0.0, 1e-1, cfg=cfg, Q32=Q32)
+
+    out = {"scale_metric": "schurq_n1934_edge32_tr_solve",
+           "scale_unit": "s"}
+    for name, pallas in (("scale_value", True), ("scale_scatter_value",
+                                                 False)):
+        op = Q.edge_f32(pallas=pallas)
+        res = run(op)
+        jax.device_get(res.primal)  # compile + first run
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run(op)
+            jax.device_get(res.primal)
+            times.append(time.perf_counter() - t0)
+        out[name] = round(float(np.median(times)), 3)
+        if pallas:
+            out["scale_vs_baseline"] = round(
+                SCALE_BASELINE_S / out[name], 3)
+            # certificate on the exact f64 operator (correctness gate +
+            # separately-timed implicit-certificate number)
+            sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+            cert = certify(Q, sR, 0.0, res.primal)  # warmup/compile
+            t0 = time.perf_counter()
+            cert = certify(Q, sR, 0.0, res.primal)
+            cert_ok = bool(jax.device_get(cert.certified))
+            out["scale_cert_s"] = round(time.perf_counter() - t0, 3)
+            out["scale_certified"] = cert_ok
+    return out
 
 
 if __name__ == "__main__":

@@ -183,3 +183,16 @@ def test_large_dim_certificate_reporting():
     # gap bounded by the probe's guarantee, not an unconverged Ritz interval
     assert float(cert.gap) <= float(cert.primal - cert.dual) + K * bound + 1e-9
     assert float(cert.lam_min) <= bound
+
+
+def test_min_eig_bound_never_vacuous():
+    """The acceptance bound must never exceed the reference's effective 1e-3
+    (checkeig.h:349-358 — the n>5000/n>10000 branches there are dead code;
+    accepting lam_min > -0.1 or -100 would be a vacuous certificate)."""
+    from xmtpu.solver.certificate import _min_eig_bound
+
+    for n in (10, 149, 2000, 2001, 5000, 5001, 10000, 10001, 100000):
+        b = _min_eig_bound(n)
+        assert 0.0 < b <= 1e-3, (n, b)
+    assert _min_eig_bound(149) == 1e-4
+    assert _min_eig_bound(6000) == 1e-3

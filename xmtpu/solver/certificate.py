@@ -134,14 +134,15 @@ def _solve_spd_small(G, g):
 
 
 def _min_eig_bound(n: int) -> float:
-    """Intent-corrected size schedule for the min-eig acceptance bound."""
-    if n <= 2000:
-        return 1e-4
-    if n <= 5000:
-        return 1e-3
-    if n <= 10000:
-        return 1e-1
-    return 100.0
+    """Size schedule for the min-eig acceptance bound.
+
+    The reference's if/else-if chain (checkeig.h:349-358) makes its n>5000
+    and n>10000 branches dead code — the *effective* behavior is 1e-4 for
+    n <= 2000 and 1e-3 beyond.  We replicate that effective behavior and cap
+    the bound at 1e-3: "certifying" lam_min > -0.1 (or -100) would be
+    vacuous, strictly weaker than the reference at scale.
+    """
+    return 1e-4 if n <= 2000 else 1e-3
 
 
 def _z_and_dual(C, sR, lam):

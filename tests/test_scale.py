@@ -1,0 +1,93 @@
+"""Large-N camera-dimension scaling (VERDICT r1 item 1).
+
+The reference densifies the camera Schur complement and dies at N ~ 2000
+(/root/reference/utils/creatematrix.py:175-177).  These tests pin the
+framework's large-N story: the factored SchurQ operator with a
+mesh-divisibly padded, genuinely row-sharded ``VT_inv``, the mixed-precision
+("ns") build that avoids the emulated-f64 factorization wall, and the
+matvec-only certificate — a certified implicit staircase whose per-device
+memory is a fraction of the replicated O(N^2) object.
+
+The always-on test runs a mid-size (N=512) config through the exact same
+code paths; the Rome-class config (N=10240, M=102400) is opt-in via
+``XMTPU_SCALE_TESTS=1`` (minutes of CPU; the driver-facing numbers live in
+benchmarks/ and docs/PERFORMANCE.md).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmtpu.ops import manifold as mf
+from xmtpu.ops.schurq import SchurQ
+from xmtpu.parallel.mesh import make_mesh, shard_schurq, solve_arrays_sharded
+from xmtpu.pipeline.synthetic import make_scene_window
+from xmtpu.solver.staircase import solve_arrays
+
+
+def _sharded_nbytes(arr):
+    return sum(sh.data.nbytes for sh in arr.addressable_shards
+               if sh.device == arr.addressable_shards[0].device)
+
+
+def test_mid_size_sharded_certified_staircase():
+    """N=512 certified implicit staircase on the 8-device mesh with the
+    'ns' VT build and padded VT_inv sharding — the Rome-scale code path at
+    CI-friendly size."""
+    scene = make_scene_window(512, 2048, obs_per_camera=20, noise=0.0,
+                              seed=21)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                     vt_build="ns")
+    res_single = solve_arrays(Q, max_rank=4, tol=1e-5, lam=0.0,
+                              verbose=False)
+    assert res_single.certified
+
+    mesh = make_mesh(8)
+    Qs = shard_schurq(mesh, Q)
+    # VT_inv: 511 rows padded to 512, row-sharded 64 rows/device
+    assert Qs.VT_inv.shape == (512, 511)
+    assert Qs.VT_inv.sharding.spec == jax.sharding.PartitionSpec("cam", None)
+    per_dev = Qs.VT_inv.addressable_shards[0].data.nbytes
+    assert per_dev * 8 <= Q.VT_inv.nbytes * 1.01  # genuinely split
+    assert per_dev < Q.VT_inv.nbytes / 4
+
+    res_shard = solve_arrays_sharded(mesh, Q, max_rank=4, tol=1e-5, lam=0.0,
+                                     verbose=False)
+    assert res_shard.certified
+    np.testing.assert_allclose(res_shard.primal, res_single.primal,
+                               rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.skipif(os.environ.get("XMTPU_SCALE_TESTS", "0") != "1",
+                    reason="Rome-class scale test: minutes of CPU; "
+                           "set XMTPU_SCALE_TESTS=1")
+def test_rome_class_sharded_certified_staircase():
+    """N=10240 cameras, M=102400 landmarks (Rome-class, SURVEY section 5.7 /
+    BASELINE config 5): certified implicit staircase on the virtual
+    8-device mesh; per-device VT_inv memory is 1/8 of the replicated
+    object the round-1 design would have carried."""
+    scene = make_scene_window(10240, 102400, obs_per_camera=20, noise=0.0,
+                              seed=33)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    mesh = make_mesh(8)
+    Qs = shard_schurq(mesh, Q)
+    assert Qs.VT_inv.sharding.spec == jax.sharding.PartitionSpec("cam", None)
+    replicated_bytes = Q.VT_inv.nbytes            # ~840 MB at this size
+    per_dev = Qs.VT_inv.addressable_shards[0].data.nbytes
+    assert per_dev < replicated_bytes / 7         # sharded, not replicated
+
+    res = solve_arrays_sharded(mesh, Q, max_rank=4, tol=1e-4, lam=0.0,
+                               verbose=True)
+    assert res.certified
+    # ground truth is the optimum at zero noise
+    assert res.primal < 1e-4
+
+    # recovered rotations match GT (gauge-fixed) — full-pipeline sanity
+    R_blocks = np.asarray(res.R).reshape(10240, 3, -1)[:, :, :3]
+    from xmtpu.pipeline.synthetic import rotation_errors
+    errs = rotation_errors(np.transpose(R_blocks, (0, 2, 1)), scene.R_gt,
+                           gauge="left")
+    assert np.median(errs) < 1e-3

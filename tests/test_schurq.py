@@ -231,3 +231,73 @@ def test_chunked_build_matches_slab():
     np.testing.assert_allclose(np.asarray(Q_chunk.apply(Y)),
                                np.asarray(Q_slab.apply(Y)), rtol=1e-10,
                                atol=1e-10)
+
+
+def test_vt_build_ns_matches_chol(problem):
+    """The mixed-precision (f32 Cholesky seed + f64 Newton-Schulz) VT_inv —
+    the TPU build path that avoids the emulated-f64 factorization wall —
+    reaches the same inverse as the direct f64 route."""
+    scene, C, Abar, Q = problem
+    Q_ns = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                        vt_build="ns")
+    np.testing.assert_allclose(np.asarray(Q_ns.VT_inv),
+                               np.asarray(Q.VT_inv), rtol=1e-10, atol=1e-12)
+    rng = np.random.default_rng(5)
+    Y = jnp.asarray(rng.standard_normal((Q.dim, 4)))
+    np.testing.assert_allclose(np.asarray(Q_ns.apply(Y)),
+                               np.asarray(Q.apply(Y)), rtol=1e-10, atol=1e-10)
+
+
+def test_vt_inv_mixed_ill_conditioned():
+    """Newton-Schulz reaches a usable inverse at cond 1e5 (bad-but-realistic
+    camera-graph conditioning): the resid ratio stays under the build's
+    fallback threshold and the SOLVE accuracy is near-f64."""
+    from xmtpu.ops.schurq import _vt_inv_mixed
+
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((100, 100))
+    _, V = np.linalg.eigh(B @ B.T)
+    w = np.geomspace(1e-5, 1.0, 100)  # cond 1e5
+    A = jnp.asarray((V * w) @ V.T)
+    X, resid_ratio = _vt_inv_mixed(A)
+    # resid is reported in multiples of the f64 floor (eps * cond-scale)
+    assert float(resid_ratio) < 2e3
+    b = rng.standard_normal(100)
+    x_star = np.linalg.solve(np.asarray(A), b)
+    rel = (np.linalg.norm(np.asarray(X @ b) - x_star)
+           / np.linalg.norm(x_star))
+    assert rel < 1e-10
+
+
+def test_vt_build_ns_falls_back_on_pathological_cond():
+    """cond ~ 1e8 defeats the f32 seed; build() detects the Newton-Schulz
+    stall through the resid ratio and silently rebuilds through the exact
+    f64 factorization."""
+    from xmtpu.ops.schurq import _vt_inv_mixed
+
+    rng = np.random.default_rng(13)
+    B = rng.standard_normal((60, 60))
+    _, V = np.linalg.eigh(B @ B.T)
+    w = np.geomspace(1e-8, 1.0, 60)
+    A = jnp.asarray((V * w) @ V.T)
+    _, resid_ratio = _vt_inv_mixed(A)
+    assert float(resid_ratio) > 2e3  # the fallback WOULD trigger here
+
+
+def test_padded_vt_inv_rows_are_transparent(problem):
+    """Zero-padding VT_inv rows (mesh-divisible sharding layout) leaves the
+    operator's action bitwise unchanged — solve_M slices the pad back off."""
+    import dataclasses
+
+    scene, C, Abar, Q = problem
+    pad = 3
+    VT_pad = jnp.pad(Q.VT_inv, ((0, pad), (0, 0)))
+    Q_pad = dataclasses.replace(Q, VT_inv=VT_pad)
+    rng = np.random.default_rng(6)
+    Y = jnp.asarray(rng.standard_normal((Q.dim, 3)))
+    # tight allclose, not bitwise: the padded GEMM shape tiles differently
+    np.testing.assert_allclose(np.asarray(Q_pad.apply(Y)),
+                               np.asarray(Q.apply(Y)), rtol=1e-13, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Q_pad.recover_y(Y)),
+                               np.asarray(Q.recover_y(Y)), rtol=1e-13,
+                               atol=1e-11)

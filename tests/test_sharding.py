@@ -74,10 +74,15 @@ def test_sharded_schurq_matches_single_device(problem):
     mesh = make_mesh(8)
     Qs = shard_schurq(mesh, Q)
     # edge payload sharded over observations; Q1 over cameras.  VT_inv has
-    # n-1 rows (15 here) — indivisible by the mesh, so it replicates.
+    # n-1 rows (15 here) — indivisible by the mesh — so it is zero-row-padded
+    # to 16 and ROW-SHARDED (the O(N^2) object must never replicate at scale)
     assert not Qs.wx_f.is_fully_replicated
     assert not Qs.Q1.is_fully_replicated
-    assert Qs.VT_inv.sharding.spec == jax.sharding.PartitionSpec()
+    assert Qs.VT_inv.sharding.spec == jax.sharding.PartitionSpec("cam", None)
+    assert Qs.VT_inv.shape == (16, 15)
+    # per-device bytes of the padded, sharded inverse < the replicated size
+    shard_rows = Qs.VT_inv.sharding.shard_shape(Qs.VT_inv.shape)[0]
+    assert shard_rows == 2
     res_shard = tr.trust_region_solve(Qs, R0, s0, lam=0.0, gradtol=1e-8)
     np.testing.assert_allclose(float(res_shard.primal),
                                float(res_single.primal), rtol=1e-9,

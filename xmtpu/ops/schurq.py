@@ -87,10 +87,14 @@ class SchurQ(QOperator):
       bounds_l: (m+1,) landmark segment boundaries in the l-sorted order
       bounds_f: (n+1,) frame segment boundaries in the f-sorted order
       inv_q3, inv_sqrt_q3: (m,) inverse (sqrt) landmark weight sums
-      VT_inv: (n-1, n-1) explicit inverse of the camera Schur complement
+      VT_inv: (>= n-1, n-1) explicit inverse of the camera Schur complement
         (applied as a GEMM: on TPU, emulated-f64 triangular solves cost ~20x
-        an equivalent GEMM; the SPD inverse is computed once at build through
-        its Cholesky factor)
+        an equivalent GEMM).  Rows may be zero-padded past n-1 so the O(N^2)
+        object row-shards over a device mesh whose size does not divide n-1
+        (``parallel.mesh.shard_schurq``); ``solve_M`` slices the GEMM output
+        back to n-1 rows.  Built either through an emulated-f64 Cholesky
+        ("chol") or the hardware-f32 Cholesky + f64 Newton-Schulz ladder
+        ("ns", the TPU default — see :func:`_vt_inv_mixed`).
     """
 
     Q1: jax.Array
@@ -121,13 +125,24 @@ class SchurQ(QOperator):
 
     @staticmethod
     def build(weights, edges, landmarks,
-              landmark_chunk: "int | None" = None) -> "SchurQ":
+              landmark_chunk: "int | None" = None,
+              vt_build: str = "auto") -> "SchurQ":
         """From the same inputs as ``create_matrix`` (1-based edges).
 
         ``landmark_chunk``: accumulate VT's Gram over landmark chunks of this
         width instead of one (N, M) slab.  Default ``None`` picks
         automatically: the slab while it fits ``_SLAB_BUDGET_BYTES``, chunked
         beyond (the beyond-memory build path).  Pass ``0`` to force the slab.
+
+        ``vt_build``: how the (n-1)^2 ``VT_inv`` is computed —
+          * ``"chol"``: f64 Cholesky + cho_solve (exact; emulated f64 on TPU
+            turns this into the build wall at large N);
+          * ``"ns"``: hardware-f32 Cholesky seed + f64 Newton-Schulz GEMM
+            refinement (:func:`_vt_inv_mixed`) — same f64-floor accuracy,
+            GEMM-shaped work only;
+          * ``"auto"``: "ns" on a TPU default backend, "chol" elsewhere.
+        The "ns" path verifies its inverse residual on the host and falls
+        back to "chol" if Newton-Schulz stalled (pathological conditioning).
         """
         edges = np.asarray(edges)
         w = np.asarray(weights, np.float64).ravel()
@@ -148,14 +163,30 @@ class SchurQ(QOperator):
         if landmark_chunk and landmark_chunk < M:
             vt_gram = _vt_gram_chunked(w, f, l, ord_l, bounds_l, N, M,
                                        int(landmark_chunk))
-        return _build_schurq(
-            jnp.asarray(w), jnp.asarray(x),
-            jnp.asarray(f[ord_l], jnp.int32), jnp.asarray(l[ord_l], jnp.int32),
-            jnp.asarray(ord_l, jnp.int32),
-            jnp.asarray(f[ord_f], jnp.int32), jnp.asarray(l[ord_f], jnp.int32),
-            jnp.asarray(ord_f, jnp.int32),
-            jnp.asarray(bounds_l), jnp.asarray(bounds_f),
-            N, M, vt_gram=vt_gram, use_gram=vt_gram is not None)
+        if vt_build == "auto":
+            vt_build = "ns" if jax.default_backend() == "tpu" else "chol"
+        args = (jnp.asarray(w), jnp.asarray(x),
+                jnp.asarray(f[ord_l], jnp.int32),
+                jnp.asarray(l[ord_l], jnp.int32),
+                jnp.asarray(ord_l, jnp.int32),
+                jnp.asarray(f[ord_f], jnp.int32),
+                jnp.asarray(l[ord_f], jnp.int32),
+                jnp.asarray(ord_f, jnp.int32),
+                jnp.asarray(bounds_l), jnp.asarray(bounds_f))
+        q, vt_resid = _build_schurq(*args, N, M, vt_gram=vt_gram,
+                                    use_gram=vt_gram is not None,
+                                    vt_build=vt_build)
+        # vt_resid is in multiples of the f64 floor (see _vt_inv_mixed);
+        # measured stall ratios: ~4 at cond 1e3, ~2e3 at cond 1e6 —
+        # fall back to the exact factorization beyond cond ~1e6, where the
+        # Newton-Schulz inverse's worst-direction apply error passes 1e-6
+        if vt_build == "ns" and float(jax.device_get(vt_resid)) > 2e3:
+            # Newton-Schulz stalled (cond(VT) beyond the f32 seed's reach):
+            # rebuild through the exact f64 factorization
+            q, _ = _build_schurq(*args, N, M, vt_gram=vt_gram,
+                                 use_gram=vt_gram is not None,
+                                 vt_build="chol")
+        return q
 
     @property
     def n_cameras(self) -> int:
@@ -200,10 +231,15 @@ class SchurQ(QOperator):
                                self.l_l, self.bounds_l, self.n_landmarks)
 
     def solve_M(self, b_A, b_B):
-        """Exact solve of ``Mbar [x_A; x_B] = [b_A; b_B]``."""
+        """Exact solve of ``Mbar [x_A; x_B] = [b_A; b_B]``.
+
+        ``VT_inv`` may carry zero-padded rows past n-1 (mesh-divisible row
+        sharding); the slice restores the true shape — padded rows are exact
+        zeros so no information is lost."""
         t = self.inv_sqrt_q3[:, None] * b_B
         rhs = b_A + self._v3f(t)
-        x_A = jnp.dot(self.VT_inv, rhs, precision=jax.lax.Precision.HIGHEST)
+        x_A = jnp.dot(self.VT_inv, rhs,
+                      precision=jax.lax.Precision.HIGHEST)[: b_A.shape[0]]
         x_B = (self.inv_q3[:, None] * b_B
                + self.inv_sqrt_q3[:, None] * self._v3fT(x_A))
         return x_A, x_B
@@ -488,10 +524,96 @@ def _vt_gram_chunked(w, f, l, ord_l, bounds_l, N: int, M: int,
     return gram
 
 
-@partial(jax.jit, static_argnames=("N", "M", "use_gram"))
+def _vt_inv_mixed(VT):
+    """SPD inverse via hardware-f32 Cholesky seed + f64 Newton-Schulz.
+
+    The direct route (f64 ``cholesky`` + ``cho_solve`` with N right-hand
+    sides) is the implicit operator's build wall on TPU: f64 is software-
+    emulated and the triangular solves cost ~20x an equivalent GEMM
+    (CLAUDE.md rule 1) — hours at Rome-scale N ~ 10^4.  This ladder keeps
+    all O(N^3) work GEMM-shaped:
+
+    1. factor ``VT`` in hardware f32, escalating a relative diagonal shift
+       ``tau`` until the factorization succeeds (with shift the seed error is
+       ``tau / (lam_min + tau) < 1`` — Newton-Schulz then always contracts);
+    2. seed ``X0 = (L^-T)(L^-1)`` with one f32 triangular solve + GEMM;
+    3. refine ``X <- X + X (I - VT X)`` in f64 GEMMs until the residual hits
+       the f64 floor (error squares per step: <= 7 iterations from a 0.5
+       seed error, 2-3 typical).
+
+    Returns ``(X, resid_ratio)`` with ``resid_ratio = ||I - VT X||_F``
+    measured on the final iterate in multiples of the attainable f64 floor
+    (eps * ||VT|| ||X||); the caller falls back to the exact f64
+    factorization if Newton-Schulz stalled (cond(VT) >~ 1/eps_f32 can defeat
+    the f32 seed).
+    """
+    n = VT.shape[0]
+    dt = VT.dtype
+    scale = jnp.max(jnp.diagonal(VT)).astype(jnp.float32)
+    VT32 = VT.astype(jnp.float32)
+    eye32 = jnp.eye(n, dtype=jnp.float32)
+
+    def factor(shift):
+        return jnp.linalg.cholesky(VT32 + (shift * scale) * eye32)
+
+    L0 = factor(jnp.asarray(0.0, jnp.float32))
+
+    def fac_cond(c):
+        shift, L = c
+        return jnp.any(jnp.isnan(L)) & (shift < 1.0)
+
+    def fac_body(c):
+        shift, _ = c
+        shift = jnp.maximum(shift * 16.0, jnp.asarray(1e-7, jnp.float32))
+        return shift, factor(shift)
+
+    _, L = jax.lax.while_loop(fac_cond, fac_body,
+                              (jnp.asarray(0.0, jnp.float32), L0))
+    Linv = jax.lax.linalg.triangular_solve(L, eye32, left_side=True,
+                                           lower=True)
+    X0 = jnp.dot(Linv.T, Linv,
+                 precision=jax.lax.Precision.HIGHEST).astype(dt)
+
+    eye = jnp.eye(n, dtype=dt)
+
+    def resid_of(X):
+        E = eye - jnp.dot(VT, X, precision=jax.lax.Precision.HIGHEST)
+        return E, jnp.linalg.norm(E)
+
+    E0, r0 = resid_of(X0)
+
+    def ns_cond(c):
+        X, E, r, r_prev, it = c
+        # continue while strictly contracting: a large-shift seed starts at
+        # error ~1 and needs ~14 squarings to the floor; the f64 floor itself
+        # shows up as a non-decreasing residual and stops the loop
+        return (it < 14) & (r > 1e-14) & (r < r_prev)
+
+    def ns_body(c):
+        X, E, r, r_prev, it = c
+        X = X + jnp.dot(X, E, precision=jax.lax.Precision.HIGHEST)
+        # re-symmetrize every step: for symmetric X the LEFT residual
+        # I - X VT is the transpose of the measured right residual; an
+        # asymmetric drift would let it grow by a cond(VT) factor unchecked
+        X = 0.5 * (X + X.T)
+        E, r_new = resid_of(X)
+        return X, E, r_new, r, it + 1
+
+    X, E, r, _, _ = jax.lax.while_loop(
+        ns_cond, ns_body,
+        (X0, E0, r0, jnp.asarray(jnp.inf, dt), jnp.zeros((), jnp.int32)))
+    # report the residual as a multiple of the attainable f64 floor
+    # (~ eps ||VT|| ||X||, i.e. eps * cond(VT)): the floor itself scales with
+    # conditioning — exactly like the direct f64 factorization's — so only a
+    # STALL far above it (f32 seed defeated) should trigger the fallback
+    floor = jnp.finfo(dt).eps * jnp.linalg.norm(VT) * jnp.linalg.norm(X)
+    return X, r / jnp.maximum(floor, jnp.asarray(1e-300, dt))
+
+
+@partial(jax.jit, static_argnames=("N", "M", "use_gram", "vt_build"))
 def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, bounds_l, bounds_f,
-                  N: int, M: int, vt_gram=None, use_gram: bool = False
-                  ) -> SchurQ:
+                  N: int, M: int, vt_gram=None, use_gram: bool = False,
+                  vt_build: str = "chol"):
     wx = w[:, None] * x
     q2 = _seg_sum(w[ord_f], f_f, N)
     q3 = _seg_sum(w[ord_l], l_l, M)
@@ -513,9 +635,13 @@ def _build_schurq(w, x, f_l, l_l, ord_l, f_f, l_f, ord_f, bounds_l, bounds_f,
         V3F = flat.reshape(N, M)[1:]
         gram = V3F @ V3F.T
     VT = jnp.diag(q2[1:]) - gram
-    VT_chol = jnp.linalg.cholesky(VT)
-    VT_inv = jax.scipy.linalg.cho_solve(
-        (VT_chol, True), jnp.eye(N - 1, dtype=w.dtype))
+    if vt_build == "ns":
+        VT_inv, vt_resid = _vt_inv_mixed(VT)
+    else:
+        VT_chol = jnp.linalg.cholesky(VT)
+        VT_inv = jax.scipy.linalg.cho_solve(
+            (VT_chol, True), jnp.eye(N - 1, dtype=w.dtype))
+        vt_resid = jnp.zeros((), w.dtype)
     return SchurQ(Q1, V1, f_l, l_l, wx[ord_l], cf_l,
                   f_f, l_f, wx[ord_f], cf_f, bounds_l, bounds_f,
-                  inv_q3, inv_sqrt_q3, VT_inv)
+                  inv_q3, inv_sqrt_q3, VT_inv), vt_resid

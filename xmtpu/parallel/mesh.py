@@ -111,11 +111,17 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
     * per-camera leaves (``Q1``, ``V1``) and the ``VT_inv`` rows: split over
       the camera axis — the (n-1)^2 GEMM resolving the Schur complement
       becomes a row-panel matmul with its thin (n-1, o) operand all-gathered
-      over ICI, exactly like the dense path's hot GEMM;
-    * edge arrays (both sorted orderings): split over the observation axis;
-      frame/landmark ``segment_sum`` reductions become local partial sums +
-      a GSPMD-inserted scatter/psum at shard boundaries (edges are sorted,
-      so only segments straddling a shard edge communicate);
+      over ICI, exactly like the dense path's hot GEMM.  ``VT_inv`` has n-1
+      rows — guaranteed indivisible whenever n is sized to the mesh — so it
+      is zero-row-padded to mesh divisibility before placement (the O(N^2)
+      object MUST shard: replicated it dominates per-device memory at scale;
+      ``SchurQ.solve_M`` slices the padded GEMM output back to n-1 rows);
+    * edge arrays (both sorted orderings): split over the observation axis,
+      padded to divisibility with zero-coefficient rows carrying the last
+      (sorted) segment id; frame/landmark ``segment_sum`` reductions become
+      local partial sums + a GSPMD-inserted scatter/psum at shard boundaries
+      (edges are sorted, so only segments straddling a shard edge
+      communicate);
     * landmark vectors (``inv_q3``…) and segment bounds: replicated (O(M)
       scalars, negligible next to the O(E) edge payload).
 
@@ -138,6 +144,14 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
         "wxh_l": row2, "wxl_l": row2, "wxh_f": row2, "wxl_f": row2,
         "cfh_l": row1, "cfl_l": row1, "cfh_f": row1, "cfl_f": row1,
     }
+    # leaves whose leading dim may be padded to mesh divisibility without
+    # changing operator semantics: VT_inv (zero rows, sliced off in solve_M)
+    # and the edge payload (zero coefficients; id padding repeats the last
+    # sorted id so segment sums stay sorted and the padded contribution is 0)
+    pad_zero = {"VT_inv", "wx_l", "wx_f", "cf_l", "cf_f",
+                "wxh_l", "wxl_l", "wxh_f", "wxl_f",
+                "cfh_l", "cfl_l", "cfh_f", "cfl_f"}
+    pad_edge_ids = {"f_l", "l_l", "f_f", "l_f"}
     n_dev = mesh.devices.size
     out = {}
     for f in fields(Q):
@@ -148,11 +162,18 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
             # sharding (edge_f32's auto policy keeps XLA scatter here)
             continue
         spec = specs.get(f.name, P())  # bounds / landmark vectors replicate
-        if spec != P() and val.shape[0] % n_dev != 0:
-            # device_put is strict about divisibility (unlike GSPMD inside
-            # jit); an indivisible leading dim (e.g. VT_inv's n-1 rows)
-            # replicates — real deployments size n to the mesh
-            spec = P()
+        pad = (-val.shape[0]) % n_dev if spec != P() else 0
+        if pad:
+            if f.name in pad_zero:
+                val = jnp.pad(val, [(0, pad)] + [(0, 0)] * (val.ndim - 1))
+            elif f.name in pad_edge_ids:
+                val = jnp.concatenate(
+                    [val, jnp.broadcast_to(val[-1], (pad,))])
+            else:
+                # per-camera leaves (Q1, V1) carry the live n dimension —
+                # padding would change apply()'s shapes; replicate instead
+                # (real deployments size n to the mesh)
+                spec = P()
         out[f.name] = jax.device_put(val, NamedSharding(mesh, spec))
     return replace(Q, **out)
 

@@ -196,3 +196,83 @@ def test_min_eig_bound_never_vacuous():
         assert 0.0 < b <= 1e-3, (n, b)
     assert _min_eig_bound(149) == 1e-4
     assert _min_eig_bound(6000) == 1e-3
+
+
+class TestImplicitCertificateAtScale:
+    """VERDICT r1 item 3: a certified implicit problem at n >= 1500 must
+    certify without the dense Z ever materializing, matching the dense
+    certificate's verdict, through the deflated bound + CG shift probe."""
+
+    def test_implicit_certifies_at_n1600(self):
+        import jax.numpy as jnp
+
+        from xmtpu.ops.schurq import SchurQ
+        from xmtpu.pipeline.synthetic import make_scene
+        from xmtpu.solver.certificate import certify
+
+        scene = make_scene(n_cameras=1600, n_points=6400, obs_per_camera=12,
+                           noise=0.0, seed=5)
+        Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+        # at zero noise the ground truth is the global optimum; the factor
+        # blocks are s_i R_i^T (assembly convention, creatematrix.py)
+        sR = jnp.asarray(
+            (scene.s_gt[:, None, None]
+             * np.transpose(scene.R_gt, (0, 2, 1))).reshape(-1, 3))
+        primal = float(jnp.vdot(sR, Q.apply(sR)))
+        assert abs(primal) < 1e-8
+        cert = certify(Q, sR, 0.0, primal)
+        assert bool(cert.certified)
+        # lam_min reported near zero, not cluster-noise
+        assert float(cert.lam_min) > -1e-6
+
+    def test_implicit_refutes_saddle_at_n1600(self):
+        import jax.numpy as jnp
+
+        from xmtpu.ops.schurq import SchurQ
+        from xmtpu.pipeline.synthetic import make_scene
+        from xmtpu.solver.certificate import certify
+
+        scene = make_scene(n_cameras=1600, n_points=6400, obs_per_camera=12,
+                           noise=0.0, seed=5)
+        Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+        rng = np.random.default_rng(3)
+        Rbad = np.linalg.qr(rng.standard_normal((1600, 3, 3)))[0]
+        sRb = jnp.asarray(Rbad.reshape(-1, 3))
+        primal_b = float(jnp.vdot(sRb, Q.apply(sRb)))
+        cert = certify(Q, sRb, 0.0, primal_b)
+        assert not bool(cert.certified)
+        # the escape direction is a genuine descent direction for Z
+        v = np.asarray(cert.v)
+        zmul_parts_lam_min = float(cert.lam_min)
+        assert zmul_parts_lam_min < -1e-3
+
+    def test_implicit_verdict_matches_dense(self):
+        """Same point, same verdict from the implicit (matvec + probe) and
+        dense (Cholesky PSD probe) certificates."""
+        import jax.numpy as jnp
+
+        from xmtpu.assembly.creatematrix import create_matrix_arrays
+        from xmtpu.ops.schurq import SchurQ
+        from xmtpu.pipeline.synthetic import make_scene
+        from xmtpu.solver.certificate import certify
+
+        scene = make_scene(n_cameras=64, n_points=400, obs_per_camera=25,
+                           noise=0.0, seed=9)
+        C, _ = create_matrix_arrays(scene.weights, scene.edges,
+                                    scene.landmarks)
+        Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+        sR = jnp.asarray(
+            (scene.s_gt[:, None, None]
+             * np.transpose(scene.R_gt, (0, 2, 1))).reshape(-1, 3))
+        primal = float(jnp.vdot(sR, Q.apply(sR)))
+        cert_dense = certify(jnp.asarray(C), sR, 0.0, primal)
+        cert_impl = certify(Q, sR, 0.0, primal)
+        assert bool(cert_dense.certified) == bool(cert_impl.certified) == True  # noqa: E712
+        # a perturbed (non-optimal, indefinite-Z) point must fail in both
+        rng = np.random.default_rng(4)
+        Rb = np.linalg.qr(rng.standard_normal((64, 3, 3)))[0]
+        sRb = jnp.asarray(Rb.reshape(-1, 3))
+        pb = float(jnp.vdot(sRb, Q.apply(sRb)))
+        cb_dense = certify(jnp.asarray(C), sRb, 0.0, pb)
+        cb_impl = certify(Q, sRb, 0.0, pb)
+        assert bool(cb_dense.certified) == bool(cb_impl.certified) == False  # noqa: E712

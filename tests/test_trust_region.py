@@ -172,3 +172,48 @@ def test_stop_on_collapse_terminates_at_f32_floor(simple1_Q):
     assert int(res_stop.total_inner) < int(res_ref.total_inner)
     # the early stop gives up no objective quality beyond f32 resolution
     assert float(res_stop.primal) <= float(res_ref.primal) * (1 + 1e-3) + 1e-3
+
+
+def test_mid_stage_checkpoint_resume(tmp_path):
+    """VERDICT r1 item 8: kill a solve inside a rank (chunk boundary) and
+    resume to the identical certified optimum."""
+    import jax.numpy as jnp
+
+    from xmtpu.assembly.creatematrix import create_matrix_arrays
+    from xmtpu.ops import manifold as mf
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver import trust_region as tr
+    from xmtpu.solver.checkpoint import TRCheckpoint, load_checkpoint
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene = make_scene(n_cameras=10, n_points=50, obs_per_camera=25,
+                       noise=1e-3, seed=13)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    C = jnp.asarray(C)
+
+    ref = solve_arrays(C, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    assert ref.certified
+
+    # simulated kill: stop the rank-3 f64 solve after 6 outer iterations,
+    # checkpointing every 3 (the chunk boundary)
+    ck_path = str(tmp_path / "mid.npz")
+    n = C.shape[0] // 3
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,), jnp.float64)
+    partial = tr.trust_region_solve(
+        C, R0, s0, lam=0.0, gradtol=1e-8,
+        cfg=tr.TRConfig(max_outer=6, chunk=3),
+        checkpoint_path=ck_path,
+        ckpt_meta=dict(rank=3, gradtol=1e-8, lam=0.0))
+    assert int(partial.done_reason) == tr.DONE_MAX_OUTER
+
+    ck = load_checkpoint(ck_path)
+    assert isinstance(ck, TRCheckpoint)
+    assert ck.rank == 3 and ck.k_done == 6
+
+    res = solve_arrays(C, max_rank=4, tol=1e-8, lam=0.0, verbose=False,
+                       resume_from=ck_path)
+    assert res.certified == ref.certified == True  # noqa: E712
+    np.testing.assert_allclose(res.primal, ref.primal, rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(res.s_ex, ref.s_ex, rtol=1e-7)

@@ -37,7 +37,8 @@ def init_distributed(coordinator_address: str | None = None,
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
+        process_id=process_id if process_id is not None
+        else int(os.environ["JAX_PROCESS_ID"]),
     )
 
 

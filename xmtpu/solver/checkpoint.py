@@ -34,8 +34,11 @@ def save_checkpoint(path: str, ckpt: StaircaseCheckpoint) -> None:
     )
 
 
-def load_checkpoint(path: str) -> StaircaseCheckpoint:
+def load_checkpoint(path: str) -> "StaircaseCheckpoint | TRCheckpoint":
+    """Load either checkpoint kind (between-rank or mid-stage)."""
     z = np.load(path)
+    if "kind" in z and str(z["kind"]) == "tr_mid":
+        return _tr_from_npz(z)
     esc = z["escape_dir"]
     return StaircaseCheckpoint(
         R=z["R"], s_ex=z["s_ex"], rank=int(z["rank"]),
@@ -43,3 +46,57 @@ def load_checkpoint(path: str) -> StaircaseCheckpoint:
         escape_dir=None if esc.size == 0 else esc,
         lam=float(z["lam"]),
     )
+
+
+class TRCheckpoint(NamedTuple):
+    """Mid-stage checkpoint: the full trust-region loop state at a chunk
+    boundary (VERDICT r1 item 8) — a long single-rank solve at scale can be
+    killed and resumed INSIDE the rank, not just between ranks.
+
+    ``state_arrays`` holds every ``TRState`` field in order; ``k_done`` the
+    outer iterations completed; the rest reconstructs the stage context.
+    """
+
+    state_arrays: dict
+    k_done: int
+    rank: int
+    gradtol: float
+    lam: float
+
+
+_TR_FIELDS = ("R", "s_ex", "loss", "delta", "shrink_count", "endreason",
+              "k", "total_inner", "gradnorm", "done", "done_reason")
+
+
+def save_tr_checkpoint(path: str, state, k_done: int, rank: int,
+                       gradtol: float, lam: float) -> None:
+    """Serialize a ``trust_region.TRState`` (host-fetched) at a chunk
+    boundary.  Atomic-ish: write then rename so a kill mid-write never
+    corrupts the previous checkpoint."""
+    import os
+
+    import jax
+
+    vals = jax.device_get(tuple(getattr(state, f) for f in _TR_FIELDS))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, kind="tr_mid", k_done=k_done, rank=rank, gradtol=gradtol,
+             lam=lam, **{f"st_{f}": np.asarray(v)
+                         for f, v in zip(_TR_FIELDS, vals)})
+    os.replace(tmp, path)
+
+
+def _tr_from_npz(z) -> TRCheckpoint:
+    return TRCheckpoint(
+        state_arrays={f: z[f"st_{f}"] for f in _TR_FIELDS},
+        k_done=int(z["k_done"]), rank=int(z["rank"]),
+        gradtol=float(z["gradtol"]), lam=float(z["lam"]))
+
+
+def tr_state_from_checkpoint(ck: TRCheckpoint):
+    """Rebuild a device ``TRState`` from a mid-stage checkpoint."""
+    import jax.numpy as jnp
+
+    from xmtpu.solver.trust_region import TRState
+
+    return TRState(**{f: jnp.asarray(ck.state_arrays[f])
+                      for f in _TR_FIELDS})

@@ -48,6 +48,27 @@ STATUS_LINESEARCH_FAIL = -2
 _scaled_factor = jax.jit(lambda R, s_ex: mf.flatten(mf.scale_blocks(R, s_ex)))
 
 
+def _fetch_global(tree):
+    """Host fetch that works for multi-process (multi-host) arrays.
+
+    ``jax.device_get`` raises on arrays that are not fully addressable from
+    this process (row-sharded R over a multi-host mesh); gather those to
+    every host first (tiled: shards concatenate back to the global value).
+    Replicated/addressable leaves take the plain path — process_allgather
+    would wrongly re-concatenate per-process copies of those."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def fetch_one(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True))
+            return jax.device_get(x)
+
+        return jax.tree_util.tree_map(fetch_one, tree)
+    return jax.device_get(tree)
+
+
 class SolveResult(NamedTuple):
     R: np.ndarray        # (3n, o) flat factor, row-orthonormal 3x o blocks
     s_ex: np.ndarray     # (n,) extended scales, s_ex[0] == 1
@@ -162,7 +183,7 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
                  precision: str, bound: float, v0,
                  inner_f32: bool = False, with_cert: bool = True,
                  escape_dir=None, linesearch_step: float = 0.0,
-                 chunk: int = 100):
+                 chunk: int = 100, checkpoint_path=None, ckpt_meta=None):
     """Run one staircase rank through the fused stage+certificate program.
 
     Returns ``(res, scalars, cert)`` where ``cert`` is a CertificateResult
@@ -228,7 +249,9 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
                                    cfg32, k_done=k32, deadline=deadline)
         R1 = mf.mgs_rows(res32.R.astype(jnp.float64))
         s1 = res32.s_ex.astype(jnp.float64).at[0].set(1.0)
-        res = tr.trust_region_solve(Cq, R1, s1, lam, gradtol, cfg=cfg)
+        res = tr.trust_region_solve(Cq, R1, s1, lam, gradtol, cfg=cfg,
+                                    checkpoint_path=checkpoint_path,
+                                    ckpt_meta=ckpt_meta)
         vals2 = jax.device_get((res.primal, res.done_reason,
                                 res.outer_iters, res.total_inner,
                                 res32.outer_iters, res32.total_inner))
@@ -246,7 +269,9 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
         # (CLAUDE.md rule 5 — each blocking fetch costs ~20-40 ms here)
         res = tr.continue_chunks(Cq, st, lam, gradtol, delta_bar, cfg,
                                  Q32=C32q if inner_f32 else None,
-                                 k_done=int(k_v), deadline=deadline)
+                                 k_done=int(k_v), deadline=deadline,
+                                 checkpoint_path=checkpoint_path,
+                                 ckpt_meta=ckpt_meta)
         primal_v, reason_c, outer_c, inner_c = (
             jax.device_get((res.primal, res.done_reason, res.outer_iters,
                             res.total_inner)))
@@ -280,16 +305,22 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
 
 
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
-           precision: str = "f64", inner_f32: bool = False, Q32=None):
+           precision: str = "f64", inner_f32: bool = False, Q32=None,
+           checkpoint_path=None, ckpt_meta=None):
     cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
+    kw = {}
+    if precision != "mixed":
+        # mid-stage checkpoints cover the f64 solve path; the mixed ladder's
+        # f32 phase is short (stop_on_collapse) and restarts cheaply
+        kw = dict(checkpoint_path=checkpoint_path, ckpt_meta=ckpt_meta)
     if escape_dir is None:
-        res = solver(C, R0, s_ex0, lam, gradtol, cfg=cfg, Q32=Q32)
+        res = solver(C, R0, s_ex0, lam, gradtol, cfg=cfg, Q32=Q32, **kw)
     else:
         res = solver(C, R0, s_ex0, lam, gradtol,
                      escape_dir=escape_dir, linesearch_step=1.0, cfg=cfg,
-                     Q32=Q32)
+                     Q32=Q32, **kw)
     if verbose:
         o = R0.shape[2]
         print(f"[xm] rank {o}: primal={float(res.primal):.6e} "
@@ -361,14 +392,22 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     escape_dir = None
     prev_escape_v = None
 
+    mid_resume = None   # TRCheckpoint: resume INSIDE a rank (item 8)
     if resume_from is not None:
+        from xmtpu.solver.checkpoint import TRCheckpoint
+
         ck = load_checkpoint(resume_from)
-        o = ck.rank
-        R0 = jnp.asarray(ck.R)
-        s_ex = jnp.asarray(ck.s_ex)
-        gradtol = ck.gradtol
-        escape_dir = (jnp.asarray(ck.escape_dir)
-                      if ck.escape_dir is not None else None)
+        if isinstance(ck, TRCheckpoint):
+            mid_resume = ck
+            o = ck.rank
+            gradtol = ck.gradtol
+        else:
+            o = ck.rank
+            R0 = jnp.asarray(ck.R)
+            s_ex = jnp.asarray(ck.s_ex)
+            gradtol = ck.gradtol
+            escape_dir = (jnp.asarray(ck.escape_dir)
+                          if ck.escape_dir is not None else None)
 
     R_cur, s_cur = R0, s_ex
     primal = float("nan")
@@ -378,20 +417,47 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     lam_min = float("nan")
     outer = inner = 0
 
+    mid_path = (checkpoint_path + ".mid" if checkpoint_path is not None
+                else None)
     while o <= max_rank:
         fused_ok = dense and precision in ("f64", "mixed")
         cert_pre = None
-        if fused_ok:
+        meta = dict(rank=o, gradtol=gradtol, lam=float(lam))
+        if mid_resume is not None:
+            # finish the interrupted rank from its chunk-boundary state
+            from xmtpu.solver.checkpoint import tr_state_from_checkpoint
+
+            st = tr_state_from_checkpoint(mid_resume)
+            dim = n * (3 * o - 6) + n - 1
+            delta_bar = float(np.sqrt(dim))
+            cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
+            res = tr.continue_chunks(
+                stage_q, st, mid_resume.lam, gradtol, delta_bar, cfg,
+                Q32=stage_q32 if inner_f32 else None,
+                k_done=mid_resume.k_done,
+                deadline=time.monotonic() + max_time,
+                checkpoint_path=mid_path, ckpt_meta=meta)
+            primal_v, reason_v, outer_v, inner_v = (
+                np.asarray(x) for x in jax.device_get(
+                    (res.primal, res.done_reason, res.outer_iters,
+                     res.total_inner)))
+            if verbose:
+                print(f"[xm] rank {o} (resumed at outer "
+                      f"{mid_resume.k_done}): primal={float(primal_v):.6e}")
+            mid_resume = None
+        elif fused_ok:
             res, scal, cert_pre = _stage_fused(
                 Cq, C32q, R0, s_ex, lam, gradtol, max_time, verbose,
                 precision, bound, prev_escape_v, inner_f32=inner_f32,
                 with_cert=not rank3_only, escape_dir=escape_dir,
-                linesearch_step=(1.0 if escape_dir is not None else 0.0))
+                linesearch_step=(1.0 if escape_dir is not None else 0.0),
+                checkpoint_path=mid_path, ckpt_meta=meta)
             primal_v, reason_v, outer_v, inner_v = scal
         else:
             res = _stage(stage_q, R0, s_ex, lam, gradtol, max_time,
                          escape_dir, verbose, precision, inner_f32,
-                         Q32=stage_q32)
+                         Q32=stage_q32, checkpoint_path=mid_path,
+                         ckpt_meta=meta)
             # one batched scalar fetch per stage
             primal_v, reason_v, outer_v, inner_v = (
                 np.asarray(x) for x in jax.device_get(
@@ -432,21 +498,25 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                 [R_cur, jnp.zeros((n, 3, 1), R_cur.dtype)], axis=2)
             s_ex = s_cur
             prev_escape_v = cert.v
-            escape_dir = np.asarray(cert.v).reshape(n, 3) / np.asarray(s_cur)[:, None]
+            v_host, s_host_esc = _fetch_global((cert.v, s_cur))
+            escape_dir = (np.asarray(v_host).reshape(n, 3)
+                          / np.asarray(s_host_esc)[:, None])
             escape_dir = jnp.asarray(escape_dir.reshape(3 * n))
             o += 1
             if checkpoint_path is not None:
-                save_checkpoint(checkpoint_path, StaircaseCheckpoint(
-                    R=np.asarray(R0), s_ex=np.asarray(s_ex), rank=o,
-                    gradtol=gradtol, escape_dir=np.asarray(escape_dir),
-                    lam=float(lam)))
+                R0_h, s_h = _fetch_global((R0, s_ex))
+                if jax.process_index() == 0:
+                    save_checkpoint(checkpoint_path, StaircaseCheckpoint(
+                        R=np.asarray(R0_h), s_ex=np.asarray(s_h), rank=o,
+                        gradtol=gradtol, escape_dir=np.asarray(escape_dir),
+                        lam=float(lam)))
         else:
             status = STATUS_MAX_RANK
             break
 
     # flatten on the host: (n,3,o) -> (3n,o) is a reshape, not worth a
     # device program + extra round trip on remote-dispatch platforms
-    R_host, s_host = jax.device_get((R_cur, s_cur))
+    R_host, s_host = _fetch_global((R_cur, s_cur))
     R_flat = np.asarray(R_host).reshape(-1, R_host.shape[-1])
     return SolveResult(
         R=np.asarray(R_flat),

@@ -496,7 +496,8 @@ def _escape_linesearch(Q, R, s_ex, v_scaled, step0, lam, cfg: TRConfig):
 def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                        escape_dir=None, linesearch_step=0.0,
                        cfg: TRConfig = TRConfig(), dtype=None,
-                       Q32=None) -> TRResult:
+                       Q32=None, checkpoint_path: "str | None" = None,
+                       ckpt_meta: "dict | None" = None) -> TRResult:
     """Solve ``min <sR, Q sR> + lam sum((s^2-1)^2)`` over the product manifold.
 
     Drop-in semantic equivalent of ``XMtrustregion`` (trustregion.h:77).
@@ -553,12 +554,16 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
 
     deadline = time.monotonic() + cfg.max_time
     return continue_chunks(Q, st, lam, gradtol, delta_bar_j, cfg,
-                           Q32=Q32_inner, k_done=0, deadline=deadline)
+                           Q32=Q32_inner, k_done=0, deadline=deadline,
+                           checkpoint_path=checkpoint_path,
+                           ckpt_meta=ckpt_meta)
 
 
 def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
                     cfg: TRConfig, Q32=None, k_done: int = 0,
-                    deadline: float = float("inf")) -> TRResult:
+                    deadline: float = float("inf"),
+                    checkpoint_path: "str | None" = None,
+                    ckpt_meta: "dict | None" = None) -> TRResult:
     """Drive the chunked outer loop from an existing ``TRState`` until done,
     ``max_outer``, or the wall-clock deadline.
 
@@ -567,6 +572,10 @@ def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
     programs (observed as 'TPU worker crashed' at n~2000 f64).  One batched
     host fetch per chunk (scalar fetches cost ~20 ms each on remote-dispatch
     platforms).
+
+    ``checkpoint_path``: serialize the full TRState after every chunk (the
+    natural mid-stage resume point, VERDICT r1 item 8); ``ckpt_meta`` must
+    then carry ``rank``/``gradtol``/``lam`` for the self-contained file.
     """
     lam = jnp.asarray(lam, st.R.dtype)
     gradtol = jnp.asarray(gradtol, st.R.dtype)
@@ -577,6 +586,11 @@ def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
         kmax = min(k_done + cfg.chunk, cfg.max_outer)
         st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax, Q32)
         k_done, done = jax.device_get((st.k, st.done))
+        if checkpoint_path is not None and not bool(done):
+            from xmtpu.solver.checkpoint import save_tr_checkpoint
+
+            save_tr_checkpoint(checkpoint_path, st, int(k_done),
+                               **(ckpt_meta or {}))
         if bool(done):
             break
         if time.monotonic() > deadline:

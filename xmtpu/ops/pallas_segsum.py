@@ -111,3 +111,152 @@ def sorted_segment_sum(vals: jax.Array, seg_ids: jax.Array, num_segments: int,
         interpret=interpret,
     )(seg_ids[:, None].astype(jnp.int32), vals)
     return out[:num_segments]
+
+
+# ---------------------------------------------------------------------------
+# Segment-blocked variant: outputs beyond VMEM
+# ---------------------------------------------------------------------------
+#
+# The kernel above holds the whole (num_segments + band, D) output resident
+# per grid step — fine to ~10^5 f32 rows, impossible at Rome-scale M ~ 10^6
+# (tens of MB >> VMEM).  The blocked variant tiles the output over blocks of
+# ``SEG_BLOCK`` segments and drives the grid from a host-side SCHEDULE:
+# edges (already segment-sorted) are re-chunked so every chunk's segments
+# fall inside one output block, with zero-coefficient padding rows aligning
+# chunks and empty visits covering edge-less blocks.  Block indices are
+# monotone over the sequential grid, so Pallas keeps each output block in
+# VMEM across its consecutive visits and writes it back exactly once.
+
+SEG_BLOCK = 2048
+
+
+def plan_blocks(seg_ids: np.ndarray, num_segments: int, chunk: int = CHUNK,
+                seg_block: int = SEG_BLOCK):
+    """Host-side schedule for :func:`sorted_segment_sum_blocked`.
+
+    Walks the sorted ``seg_ids`` once: splits the edge stream at output-block
+    boundaries, re-chunks each block's span to ``chunk`` rows, and inserts
+    one empty visit per edge-less block (every block must be visited so its
+    zero-init happens).
+
+    Returns ``(gather_idx (G*chunk,), pad_mask (G*chunk,), blk (G,),
+    first (G,), band)`` — gather/pad produce the scheduled edge layout,
+    ``blk``/``first`` are the kernel's scalar-prefetch arrays, ``band`` the
+    max segments any chunk spans (<= seg_block by construction).
+    """
+    seg_ids = np.asarray(seg_ids)
+    E = len(seg_ids)
+    nb = -(-num_segments // seg_block)
+    blk_edge_start = np.searchsorted(
+        seg_ids, np.arange(nb, dtype=np.int64) * seg_block)
+    blk_edge_end = np.append(blk_edge_start[1:], E)
+    spans, blks = [], []
+    for b in range(nb):
+        s, e = int(blk_edge_start[b]), int(blk_edge_end[b])
+        if s == e:
+            spans.append((s, s))          # empty visit: zero-init the block
+            blks.append(b)
+        else:
+            for c0 in range(s, e, chunk):
+                spans.append((c0, min(c0 + chunk, e)))
+                blks.append(b)
+    G = len(spans)
+    s_arr = np.asarray([s for s, _ in spans], np.int64)
+    e_arr = np.asarray([e for _, e in spans], np.int64)
+    blk = np.asarray(blks, np.int32)
+    first = np.ones(G, np.int32)
+    first[1:] = (blk[1:] != blk[:-1]).astype(np.int32)
+    gidx = s_arr[:, None] + np.arange(chunk, dtype=np.int64)[None, :]
+    pad = gidx >= e_arr[:, None]
+    gidx = np.clip(np.minimum(gidx, np.maximum(e_arr, 1)[:, None] - 1),
+                   0, max(E - 1, 0))
+    nonempty = e_arr > s_arr
+    band = 1
+    if nonempty.any():
+        band = int((seg_ids[e_arr[nonempty] - 1]
+                    - seg_ids[s_arr[nonempty]]).max()) + 1
+    assert band <= seg_block
+    return gidx.ravel(), pad.ravel(), blk, first, band
+
+
+def _kernel_blocked(blk_ref, first_ref, ids_ref, vals_ref, out_ref, *,
+                    band, sb, use_mxu):
+    g = pl.program_id(0)
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[:, 0]
+    blk_start = blk_ref[g] * sb
+    # clamp the band window so it stays inside the block; real ids always
+    # land in [start, start + band) — padding rows carry the block's first
+    # segment id, fall below the window when clamped, and match no one-hot
+    # row (their values are zero anyway)
+    local_first = ids[0] - blk_start
+    start = jnp.maximum(jnp.minimum(local_first, sb - band), 0)
+    local = ids - (blk_start + start)
+    chunk = ids.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
+              == local[None, :])
+    vals = vals_ref[:, :]
+    if use_mxu:
+        partial = jnp.dot(onehot.astype(vals.dtype), vals,
+                          preferred_element_type=vals.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:
+        partial = jnp.sum(
+            jnp.where(onehot[:, :, None], vals[None, :, :], 0.0), axis=1)
+    cur = out_ref[pl.ds(start, band), :]
+    out_ref[pl.ds(start, band), :] = cur + partial
+
+
+def sorted_segment_sum_blocked(vals: jax.Array, seg_ids: jax.Array,
+                               num_segments: int, blk, first, band: int,
+                               seg_block: int = SEG_BLOCK,
+                               chunk: int = CHUNK,
+                               interpret: bool = False) -> jax.Array:
+    """Segment sum with the output tiled over blocks of ``seg_block``
+    segments — ``vals``/``seg_ids`` must already be in the SCHEDULED layout
+    produced by :func:`plan_blocks` (padding rows: block-first segment id,
+    zero values)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = len(blk)
+    E, D = vals.shape
+    assert E == G * chunk, (E, G, chunk)
+    nb = -(-num_segments // seg_block)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_blocked, band=band, sb=seg_block,
+                          use_mxu=vals.dtype == jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((chunk, 1), lambda g, blk, first: (g, 0)),
+                pl.BlockSpec((chunk, D), lambda g, blk, first: (g, 0)),
+            ],
+            out_specs=pl.BlockSpec((seg_block, D),
+                                   lambda g, blk, first: (blk[g], 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * seg_block, D), vals.dtype),
+        interpret=interpret,
+    )(jnp.asarray(blk, jnp.int32), jnp.asarray(first, jnp.int32),
+      seg_ids[:, None].astype(jnp.int32), vals)
+    return out[:num_segments]
+
+
+def schedule_edges(seg_ids: np.ndarray, num_segments: int,
+                   chunk: int = CHUNK, seg_block: int = SEG_BLOCK):
+    """Host helper: scheduled segment-id array + gather/pad plan for laying
+    out per-edge payloads (coefficients, partner ids) in the blocked
+    kernel's layout.  Returns ``(ids_sched (G*chunk,), gidx, pad, blk,
+    first, band)``."""
+    seg_ids = np.asarray(seg_ids)
+    gidx, pad, blk, first, band = plan_blocks(seg_ids, num_segments, chunk,
+                                              seg_block)
+    ids_sched = seg_ids[gidx] if len(seg_ids) else np.zeros_like(gidx)
+    blk_first_per_row = np.repeat(blk.astype(np.int64) * seg_block, chunk)
+    ids_sched = np.where(pad, blk_first_per_row, ids_sched).astype(np.int32)
+    return ids_sched, gidx, pad, blk, first, band

@@ -116,3 +116,40 @@ def test_pixels_to_certified_poses():
                          out.t_est[:, order], R_gt_w2c, t_w2c, robust=False)
     assert m["ATE_R_deg"] < 1.0
     assert m["ATE_T"] < 0.05
+
+
+@pytest.mark.slow
+def test_pixels_with_depth_model_adapter():
+    """Driver-4 parity (VERDICT r1 item 9): the learned-depth flow runs
+    against ANY ``infer(rgb) -> (depth, conf)`` adapter — here the noisy
+    stand-in model — through ``run_frontend(depth_model=...)``."""
+    from xmtpu.pipeline.depth import NoisyDepthModel
+
+    images, depths, R_gt, t_gt = _make_views()
+    model = NoisyDepthModel(images, depths, rel_sigma=0.01, seed=4)
+    edges, weights, landmarks, relposes = run_frontend(
+        images, K, depth_model=model, max_features=1500, border_margin=3,
+        depth_clip_pct=98.0)
+    assert len(edges) > 300
+    N = int(edges[:, 0].max())
+    M = int(edges[:, 1].max())
+
+    rgbs = np.zeros((len(edges), 3))
+    # relative-error XM^2 (4_test_unidepth.py:321): monocular depth error
+    # grows with distance.  rank-3 operating point: with depth noise the
+    # rank-4 stage can certify an X whose rank-3 rounding contains
+    # reflections (det<0 — the reference warns identically,
+    # recoversolution.py:50-63); driver-4 accuracy is measured at rank 3
+    out = xm2_solve(edges, weights, landmarks, rgbs, N, M, max_rank=3,
+                    tol=1e-3, verbose=False, percentile=90.0, relative=True)
+
+    live = out.indices_all > -1
+    order = out.indices_all[live]
+    R_gt_w2c = np.concatenate([R.T for R in R_gt[live]], axis=1)
+    t_w2c = -np.einsum("nba,nb->na", R_gt[live], t_gt[live]).T
+    N2 = out.s_real.shape[0]
+    Rb = out.R_real.reshape(3, N2, 3).transpose(1, 0, 2)[order]
+    m = metrics.evaluate(Rb.transpose(1, 0, 2).reshape(3, -1),
+                         out.t_est[:, order], R_gt_w2c, t_w2c, robust=False)
+    assert m["ATE_R_deg"] < 3.0
+    assert m["ATE_T"] < 0.1

@@ -208,16 +208,28 @@ def build_tracks(matches, n_images: int):
 
 
 def run_frontend(images: list, K: np.ndarray,
-                 depth_for_frame: Callable[[int], tuple],
+                 depth_for_frame: "Callable[[int], tuple] | None" = None,
                  min_track_frames: int = 2, max_features: int = 4096,
                  border_margin: int = 0, depth_clip_pct: float | None = None,
-                 refine_focal: bool = False):
+                 refine_focal: bool = False, depth_model=None):
     """images + intrinsics + depth -> ``(edges (E,2) 1-based, weights,
     landmarks, relposes)`` for the solver pipeline.
+
+    Depth enters one of two ways: ``depth_for_frame(i) -> (depth, conf)``
+    (precomputed maps — the GT-depth flow of driver 3), or ``depth_model``
+    — anything implementing ``infer(rgb) -> (depth, conf)`` or a bare
+    callable (the learned-depth flow of driver 4,
+    /root/reference/4_test_unidepth.py:202-224; see xmtpu.pipeline.depth).
 
     ``refine_focal=True`` runs the view-graph-calibration stage first
     (Fetzer focal from pairwise fundamental matrices, as GLOMAP stage 1)
     and replaces K's focal before geometric verification and lifting."""
+    if depth_for_frame is None:
+        if depth_model is None:
+            raise ValueError("pass depth_for_frame or depth_model")
+        from xmtpu.pipeline.depth import depth_for_frames
+
+        depth_for_frame = depth_for_frames(depth_model, images)
     feats = [extract_features(im, max_features) for im in images]
     K = np.asarray(K, dtype=np.float64)
     if refine_focal:

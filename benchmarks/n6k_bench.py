@@ -1,0 +1,92 @@
+"""Single-chip n=6144 implicit certified solve — the beyond-dense-memory
+operating point (VERDICT r1 item 1 deliverable; dense C at this size is
+6144*3 squared f64 = 2.7 GB + assembly transients, past the 4 GB
+choose_implicit budget).
+
+Measures on the real TPU:
+  * SchurQ build wall (the mixed-precision 'ns' VT_inv ladder vs the
+    emulated-f64 'chol' route that was the round-1 build wall);
+  * rank-3 TR solve on the two-float mixed-edge operator (tol 1e-1, the
+    reference's BAL operating point), block-Jacobi + inner_f32;
+  * the matvec-only certificate (deflated bound + CG shift probe) on the
+    exact f64 operator.
+
+Shapes are fixed so the persistent compile cache makes reruns cheap.
+Usage: python benchmarks/n6k_bench.py [--chol-too]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from xmtpu.ops import manifold as mf                     # noqa: E402
+from xmtpu.ops.schurq import SchurQ                      # noqa: E402
+from xmtpu.ops.qop import cast_qop                       # noqa: E402
+from xmtpu.pipeline.synthetic import make_scene_window   # noqa: E402
+from xmtpu.solver import trust_region as tr              # noqa: E402
+from xmtpu.solver.certificate import certify             # noqa: E402
+
+N, M, K = 6144, 24576, 40
+
+
+def main():
+    print(f"backend={jax.default_backend()}  n={N} m={M} obs/cam={K}")
+    scene = make_scene_window(N, M, obs_per_camera=K, noise=1e-3, seed=0)
+
+    t0 = time.perf_counter()
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                     vt_build="ns")
+    jax.device_get(Q.VT_inv[0, 0])
+    t_ns = time.perf_counter() - t0
+    print(f"build (ns ladder):   {t_ns:8.2f} s")
+
+    if "--chol-too" in sys.argv:
+        t0 = time.perf_counter()
+        Qc = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                          vt_build="chol")
+        jax.device_get(Qc.VT_inv[0, 0])
+        print(f"build (f64 chol):    {time.perf_counter() - t0:8.2f} s")
+        err = float(jnp.max(jnp.abs(Q.VT_inv - Qc.VT_inv))
+                    / jnp.max(jnp.abs(Qc.VT_inv)))
+        print(f"  ns-vs-chol rel err: {err:.2e}")
+
+    Q32 = cast_qop(Q, jnp.float32)
+    Qmix = Q.edge_f32()
+    R0 = mf.identity_frames(N, 3)
+    s0 = jnp.ones((N,), jnp.float64)
+    cfg = tr.TRConfig(chunk=50, inner_f32=True)
+
+    def run():
+        return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,
+                                     Q32=Q32)
+
+    res = run()
+    jax.device_get(res.primal)           # compile + cold run
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        jax.device_get(res.primal)
+        times.append(time.perf_counter() - t0)
+    t_solve = float(np.median(times))
+    print(f"TR solve (edge_f32, tol 1e-1): {t_solve:6.2f} s  "
+          f"({int(res.outer_iters)} outer / {int(res.total_inner)} inner, "
+          f"primal {float(res.primal):.4e})")
+
+    sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+    cert = certify(Q, sR, 0.0, res.primal)       # compile
+    t0 = time.perf_counter()
+    cert = certify(Q, sR, 0.0, res.primal)
+    ok = bool(jax.device_get(cert.certified))
+    t_cert = time.perf_counter() - t0
+    print(f"implicit certificate: {t_cert:6.2f} s  certified={ok} "
+          f"lam_min={float(cert.lam_min):.3e} gap={float(cert.gap):.3e}")
+
+
+if __name__ == "__main__":
+    main()

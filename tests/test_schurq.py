@@ -301,3 +301,28 @@ def test_padded_vt_inv_rows_are_transparent(problem):
     np.testing.assert_allclose(np.asarray(Q_pad.recover_y(Y)),
                                np.asarray(Q.recover_y(Y)), rtol=1e-13,
                                atol=1e-11)
+
+
+def test_pair_gram_matches_slab():
+    """The host pair-expansion VT-Gram (sparse-graph beyond-slab build path)
+    equals the dense-slab build."""
+    from xmtpu.ops.schurq import SchurQ, _vt_gram_pairs
+
+    scene = make_scene(n_cameras=25, n_points=90, obs_per_camera=30,
+                       noise=1e-3, seed=3)
+    Q_slab = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                          landmark_chunk=0)
+    edges = np.asarray(scene.edges)
+    w = np.asarray(scene.weights, np.float64).ravel()
+    f = edges[:, 0].astype(np.int64) - 1
+    l = edges[:, 1].astype(np.int64) - 1
+    N, M = int(f.max()) + 1, int(l.max()) + 1
+    ord_l = np.lexsort((f, l))
+    bounds_l = np.searchsorted(l[ord_l], np.arange(M + 1)).astype(np.int32)
+    gram = _vt_gram_pairs(w, f, l, ord_l, bounds_l, N, M)
+    # compare against the slab-built VT (diag(q2) - gram = VT = inv(VT_inv))
+    VT_slab = np.linalg.inv(np.asarray(Q_slab.VT_inv))
+    ord_f = np.lexsort((l, f))
+    q2 = np.bincount(f, weights=w, minlength=N)
+    VT_pairs = np.diag(q2[1:]) - gram[1:, 1:]
+    np.testing.assert_allclose(VT_pairs, VT_slab, rtol=1e-8, atol=1e-10)

@@ -161,8 +161,20 @@ class SchurQ(QOperator):
             landmark_chunk = max(1024, _SLAB_BUDGET_BYTES // (8 * N))
         vt_gram = None
         if landmark_chunk and landmark_chunk < M:
-            vt_gram = _vt_gram_chunked(w, f, l, ord_l, bounds_l, N, M,
-                                       int(landmark_chunk))
+            # beyond the slab budget, the Gram must be accumulated.  V3F is
+            # E-sparse: when the observation graph is sparse enough, per-
+            # landmark PAIR expansion computes exactly sum_l cf cf^T in
+            # O(sum_l c_l^2) host work — for Rome-class scenes (c_l ~ 2-20)
+            # that is ~1e6 pairs vs ~1e13 dense-slab GEMM flops.  Dense
+            # landmarks (hub landmarks seen by thousands of cameras) blow
+            # the pair count up, so fall back to the chunked MXU Gram there.
+            counts = np.diff(bounds_l).astype(np.int64)
+            n_pairs = int(np.sum(counts * counts))
+            if n_pairs <= _PAIR_BUDGET:
+                vt_gram = _vt_gram_pairs(w, f, l, ord_l, bounds_l, N, M)
+            else:
+                vt_gram = _vt_gram_chunked(w, f, l, ord_l, bounds_l, N, M,
+                                           int(landmark_chunk))
         if vt_build == "auto":
             vt_build = "ns" if jax.default_backend() == "tpu" else "chol"
         args = (jnp.asarray(w), jnp.asarray(x),
@@ -480,6 +492,38 @@ def _make_edge_f32(q: SchurQ) -> SchurQEdgeF32:
 # to landmark-chunked Gram accumulation (~4 GB default, same order as the
 # dense-C assembly budget in xm2.choose_implicit)
 _SLAB_BUDGET_BYTES = 4 << 30
+
+# beyond-slab builds use host pair expansion while sum_l c_l^2 stays under
+# this (bincount over N^2 bins; ~1 s at 3e7 pairs)
+_PAIR_BUDGET = 30_000_000
+
+
+def _vt_gram_pairs(w, f, l, ord_l, bounds_l, N: int, M: int) -> np.ndarray:
+    """Exact ``V3F_full @ V3F_full^T`` (camera-0 row included) by per-
+    landmark pair expansion on the host.
+
+    ``gram[i, j] = sum_l cf(i, l) cf(j, l)`` only couples cameras observing
+    a common landmark: expand each landmark's observing-camera block into
+    all (a, b) index pairs and bincount the products into the (N, N) Gram.
+    O(sum_l c_l^2) work — for sparse observation graphs this replaces the
+    chunked dense-slab Gram's O(M N^2 / chunk-efficiency) GEMM flops.
+    """
+    q3h = np.bincount(l, weights=w, minlength=M)
+    fs, ls, ws = f[ord_l], l[ord_l], w[ord_l]
+    cf = ws / np.sqrt(q3h[ls])
+
+    counts = np.diff(bounds_l).astype(np.int64)
+    P = counts * counts
+    off = np.concatenate([[0], np.cumsum(P)])
+    t = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], P)
+    c_rep = np.repeat(np.maximum(counts, 1), P)
+    s_rep = np.repeat(bounds_l[:-1].astype(np.int64), P)
+    a = s_rep + t // c_rep
+    b = s_rep + t % c_rep
+    flat = fs[a] * np.int64(N) + fs[b]
+    gram = np.bincount(flat, weights=cf[a] * cf[b],
+                       minlength=N * N).reshape(N, N)
+    return gram
 
 
 @partial(jax.jit, static_argnames=("N", "mc"))

@@ -152,8 +152,17 @@ def _scale_metric():
         if pallas:
             out["scale_vs_baseline"] = round(
                 SCALE_BASELINE_S / out[name], 3)
-            # certificate on the exact f64 operator (correctness gate +
-            # separately-timed implicit-certificate number)
+            # The tol 1e-1 iterate (timed above, comparable to the r1
+            # baseline) stops in a shallow basin far from stationarity and
+            # honestly cannot certify.  Polish to tol 1e-3 (the reference
+            # pipeline's certification-grade operating point — lands in the
+            # deep 0.3726 basin), then run the matvec-only certificate on
+            # the exact f64 operator (deflated bound + CG probe).
+            t0 = time.perf_counter()
+            res = tr.trust_region_solve(op, res.R, res.s_ex, 0.0, 1e-3,
+                                        cfg=cfg, Q32=Q32)
+            jax.device_get(res.primal)
+            out["scale_polish_s"] = round(time.perf_counter() - t0, 3)
             sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
             cert = certify(Q, sR, 0.0, res.primal)  # warmup/compile
             t0 = time.perf_counter()
@@ -161,6 +170,7 @@ def _scale_metric():
             cert_ok = bool(jax.device_get(cert.certified))
             out["scale_cert_s"] = round(time.perf_counter() - t0, 3)
             out["scale_certified"] = cert_ok
+            out["scale_certified_primal"] = float(res.primal)
     return out
 
 

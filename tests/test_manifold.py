@@ -178,3 +178,35 @@ def test_hessian_matches_naive_reference_formulas():
 
     np.testing.assert_allclose(np.asarray(HuR), rhR, atol=1e-10)
     np.testing.assert_allclose(np.asarray(Hus), rhs, atol=1e-10)
+
+
+def test_gram3_apply3_formulations_agree():
+    """The VPU (broadcast+reduce) and MXU (einsum) formulations of the
+    per-camera 3x3 contractions compute the same math (XMTPU_GRAM3 switch)."""
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((11, 3, 5)))
+    B = jnp.asarray(rng.standard_normal((11, 3, 5)))
+    S = jnp.asarray(rng.standard_normal((11, 3, 3)))
+    np.testing.assert_allclose(
+        mf.gram3(A, B), jnp.einsum("nko,nlo->nkl", A, B), rtol=1e-13)
+    np.testing.assert_allclose(
+        mf.apply3(S, A), jnp.einsum("nkl,nlo->nko", S, A), rtol=1e-13)
+
+
+def test_ehess2rhess_hoisted_segr_matches():
+    """Passing the precomputed sym(R egR^T) must not change the result."""
+    rng = np.random.default_rng(8)
+    n, o = 9, 4
+    R = mf.mgs_rows(jnp.asarray(rng.standard_normal((n, 3, o))))
+    s = jnp.asarray(np.abs(rng.standard_normal(n - 1)) + 0.5)
+    ehR = jnp.asarray(rng.standard_normal((n, 3, o)))
+    ehs = jnp.asarray(rng.standard_normal(n - 1))
+    egR = jnp.asarray(rng.standard_normal((n, 3, o)))
+    egs = jnp.asarray(rng.standard_normal(n - 1))
+    Ru = jnp.asarray(rng.standard_normal((n, 3, o)))
+    su = jnp.asarray(rng.standard_normal(n - 1))
+    a = mf.ehess2rhess(ehR, ehs, egR, egs, R, s, Ru, su)
+    Segr = mf.sym3(mf.gram3(R, egR))
+    b = mf.ehess2rhess(ehR, ehs, egR, egs, R, s, Ru, su, Segr=Segr)
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-14)
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-14)

@@ -34,10 +34,37 @@ binary executes, so xmtpu uses ``+``.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Formulation of the per-camera 3x3 contractions (gram3/apply3), the hot
+# non-GEMM ops of every tCG iteration:
+#   "einsum" — batched dot_general; lowers to MXU batch-matmuls whose 3xo
+#       operands pad to full tiles (and, under f64, to the ~6-pass two-float
+#       matmul emulation) — one kernel per contraction, poor fusion.
+#   "elem"   — broadcast-multiply + axis reduction; pure VPU work that XLA
+#       fuses with the surrounding elementwise chain (f64 stays cheap
+#       two-float adds/muls instead of emulated matmuls).
+# Measured on the TPU testbeds (docs/PERFORMANCE.md "tCG fusion"): elem wins
+# on both; einsum kept for A/B via XMTPU_GRAM3=einsum.
+_GRAM3_IMPL = os.environ.get("XMTPU_GRAM3", "elem")
+
+
+def gram3(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Per-camera row-Gram ``S[i] = A_i B_i^T``: (n,3,o)x(n,3,o) -> (n,3,3)."""
+    if _GRAM3_IMPL == "elem":
+        return (A[:, :, None, :] * B[:, None, :, :]).sum(-1)
+    return jnp.einsum("nko,nlo->nkl", A, B)
+
+
+def apply3(S: jax.Array, R: jax.Array) -> jax.Array:
+    """Per-camera block apply ``S_i R_i``: (n,3,3)x(n,3,o) -> (n,3,o)."""
+    if _GRAM3_IMPL == "elem":
+        return (S[:, :, :, None] * R[:, None, :, :]).sum(2)
+    return jnp.einsum("nkl,nlo->nko", S, R)
 
 
 def flatten(R: jax.Array) -> jax.Array:
@@ -93,23 +120,29 @@ def project(R: jax.Array, s: jax.Array, gR: jax.Array, gs: jax.Array):
     ``pgR_i = gR_i - sym(R_i gR_i^T) R_i`` ;  ``pgs = s^2 * gs``
     (trustregion.h:297-317).
     """
-    S = sym3(jnp.einsum("nko,nlo->nkl", R, gR))
-    pgR = gR - jnp.einsum("nkl,nlo->nko", S, R)
+    S = sym3(gram3(R, gR))
+    pgR = gR - apply3(S, R)
     pgs = s * s * gs
     return pgR, pgs
 
 
 def ehess2rhess(ehR: jax.Array, ehs: jax.Array, egR: jax.Array, egs: jax.Array,
-                R: jax.Array, s: jax.Array, Ru: jax.Array, su: jax.Array):
+                R: jax.Array, s: jax.Array, Ru: jax.Array, su: jax.Array,
+                Segr: jax.Array | None = None):
     """Euclidean-to-Riemannian Hessian conversion (trustregion.h:258-295).
 
     ``rhR_i = P_Ri( ehR_i - sym(R_i egR_i^T) Ru_i )``
     ``rhs   = ehs * s^2 + su * s * egs``   (the CUDA ``+`` sign; see module doc)
+
+    ``Segr`` optionally supplies the precomputed ``sym(R egR^T)`` — constant
+    across a tCG inner loop (R and egR are fixed per outer iteration), so the
+    solver hoists it out of the loop body.
     """
-    S = sym3(jnp.einsum("nko,nlo->nkl", R, egR))
-    rhR = ehR - jnp.einsum("nkl,nlo->nko", S, Ru)
-    S2 = sym3(jnp.einsum("nko,nlo->nkl", R, rhR))
-    rhR = rhR - jnp.einsum("nkl,nlo->nko", S2, R)
+    if Segr is None:
+        Segr = sym3(gram3(R, egR))
+    rhR = ehR - apply3(Segr, Ru)
+    S2 = sym3(gram3(R, rhR))
+    rhR = rhR - apply3(S2, R)
     rhs = ehs * s * s + su * s * egs
     return rhR, rhs
 
@@ -174,12 +207,24 @@ def egrad(qmul, R: jax.Array, s_ex: jax.Array, lam):
     ``dfdsR = 2 Q sR``;  ``gR = dfdsR .* s_ex``;
     ``gs_i = <dfdsR_i, R_i> + 4 lam (s_i^2 - 1) s_i``  (i >= 1).
     """
+    gR, gs, _ = egrad_csr(qmul, R, s_ex, lam)
+    return gR, gs
+
+
+def egrad_csr(qmul, R: jax.Array, s_ex: jax.Array, lam):
+    """``egrad`` that also returns ``CsR = 2 Q sR`` (n, 3, o).
+
+    The reference recomputes this GEMM when hoisting ``CsR`` for the tCG loop
+    (trustregion.h:553) right after the gradient's own ``C sR`` product
+    (trustregion.h:187); here the solver reuses the gradient's — one O(n^2 o)
+    GEMM per outer iteration instead of two.
+    """
     sR = flatten(scale_blocks(R, s_ex))
     dfdsR = unflatten(2.0 * qmul(sR))
     gR = scale_blocks(dfdsR, s_ex)
     s = s_ex[1:]
     gs = block_dots(dfdsR, R) + 4.0 * lam * (s * s - 1.0) * s
-    return gR, gs
+    return gR, gs, dfdsR
 
 
 def ehess(qmul, R: jax.Array, s_ex: jax.Array, CsR: jax.Array,
@@ -203,10 +248,11 @@ def ehess(qmul, R: jax.Array, s_ex: jax.Array, CsR: jax.Array,
 
 
 def rhess(qmul, R: jax.Array, s_ex: jax.Array, CsR: jax.Array,
-          egR: jax.Array, egs: jax.Array, Ru: jax.Array, su: jax.Array, lam):
+          egR: jax.Array, egs: jax.Array, Ru: jax.Array, su: jax.Array, lam,
+          Segr: jax.Array | None = None):
     """Full Riemannian Hessian-vector product: ehess followed by ehess2rhess."""
     hR, hs = ehess(qmul, R, s_ex, CsR, Ru, su, lam)
-    return ehess2rhess(hR, hs, egR, egs, R, s_ex[1:], Ru, su)
+    return ehess2rhess(hR, hs, egR, egs, R, s_ex[1:], Ru, su, Segr=Segr)
 
 
 def random_tangent(key, R: jax.Array, s: jax.Array):

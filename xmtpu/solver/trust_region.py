@@ -177,14 +177,17 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
     ``minv=None`` the code path is exactly the reference's.
     """
     s = s_ex[1:]
+    # sym(R egR^T) is constant across the inner loop (R, egR fixed per outer
+    # iteration) — hoist it out of every ehess2rhess call in the body
+    Segr = mf.sym3(mf.gram3(R, egR))
 
     def precond(rR, rs):
         # frames: tangent-projected block solve; scales: diagonal solve
         # (quadratic + lam curvature — see _build_minv)
         minv_R, ms = minv
-        zR = jnp.einsum("nkl,nlo->nko", minv_R, rR)
-        S = mf.sym3(jnp.einsum("nko,nlo->nkl", R, zR))
-        return zR - jnp.einsum("nkl,nlo->nko", S, R), rs / ms
+        zR = mf.apply3(minv_R, rR)
+        S = mf.sym3(mf.gram3(R, zR))
+        return zR - mf.apply3(S, R), rs / ms
 
     rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
     if minv is None:
@@ -228,7 +231,8 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
         return (c.i < cfg.max_inner) & (~c.done)
 
     def body(c: Carry):
-        rhR, rhs = mf.rhess(qmul, R, s_ex, CsR, egR, egs, c.pR, c.ps, lam)
+        rhR, rhs = mf.rhess(qmul, R, s_ex, CsR, egR, egs, c.pR, c.ps, lam,
+                            Segr=Segr)
         pHp = mf.inner(c.pR, rhR, c.ps, rhs, s)
         alpha = c.rdotz / pHp
 
@@ -335,7 +339,7 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
     if qmul_inner is None:
         qmul_inner = qmul
     s = st.s_ex[1:]
-    egR, egs = mf.egrad(qmul, st.R, st.s_ex, lam)
+    egR, egs, CsR = mf.egrad_csr(qmul, st.R, st.s_ex, lam)
     pgR, pgs = mf.project(st.R, s, egR, egs)
     rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
     gradnorm = jnp.sqrt(rdotr0)
@@ -350,8 +354,8 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
                        jnp.asarray(True), done_reason_now)
 
     def work(_):
-        sR = mf.flatten(mf.scale_blocks(st.R, st.s_ex))
-        CsR = mf.unflatten(2.0 * qmul(sR))
+        # CsR = 2 Q sR reused from the gradient GEMM (mf.egrad_csr) — the
+        # reference recomputes it here (trustregion.h:553)
         minv = None if Cdiag is None else _build_minv(Cdiag, st.s_ex, lam)
         vR, vs, hvR, hvs, endreason, iters = _inner_tcg(
             qmul_inner, st.R, st.s_ex, CsR, egR, egs, pgR, pgs, gradnorm,

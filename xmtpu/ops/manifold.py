@@ -221,10 +221,21 @@ def egrad_csr(qmul, R: jax.Array, s_ex: jax.Array, lam):
     """
     sR = flatten(scale_blocks(R, s_ex))
     dfdsR = unflatten(2.0 * qmul(sR))
+    gR, gs = egrad_from_csr(dfdsR, R, s_ex, lam)
+    return gR, gs, dfdsR
+
+
+def egrad_from_csr(dfdsR: jax.Array, R: jax.Array, s_ex: jax.Array, lam):
+    """Euclidean gradient from an already-computed ``dfdsR = 2 Q sR``.
+
+    The trust-region loop carries ``Q sR`` across outer iterations (the
+    accept-step objective evaluation produces it), so the next gradient costs
+    only block ops — no operator matvec at all.
+    """
     gR = scale_blocks(dfdsR, s_ex)
     s = s_ex[1:]
     gs = block_dots(dfdsR, R) + 4.0 * lam * (s * s - 1.0) * s
-    return gR, gs, dfdsR
+    return gR, gs
 
 
 def ehess(qmul, R: jax.Array, s_ex: jax.Array, CsR: jax.Array,

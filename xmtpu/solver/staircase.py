@@ -140,6 +140,7 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
         # (XM_main.cu:109-113, trustregion.h:384-406); iterate untouched
         bad = tr.TRState(
             R=R0, s_ex=s_ex0, loss=jnp.asarray(-1.0, jnp.float64),
+            QsR=jnp.zeros_like(R0),
             delta=jnp.zeros((), jnp.float64),
             shrink_count=jnp.zeros((), jnp.int32),
             endreason=jnp.asarray(tr.ER_MAX_INNER, jnp.int32),

@@ -147,6 +147,11 @@ class TRState(NamedTuple):
     gradnorm: jax.Array
     done: jax.Array       # bool
     done_reason: jax.Array
+    # dfdsR = 2 Q sR at (R, s_ex), carried so the accept-step objective
+    # evaluation's matvec feeds the next iteration's gradient — one exact-
+    # operator matvec per outer iteration instead of two.  Optional (None =
+    # legacy construction sites; the gradient then recomputes it).
+    QsR: "jax.Array | None" = None
 
 
 class TRResult(NamedTuple):
@@ -339,7 +344,11 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
     if qmul_inner is None:
         qmul_inner = qmul
     s = st.s_ex[1:]
-    egR, egs, CsR = mf.egrad_csr(qmul, st.R, st.s_ex, lam)
+    if st.QsR is None:
+        egR, egs, CsR = mf.egrad_csr(qmul, st.R, st.s_ex, lam)
+    else:
+        CsR = st.QsR
+        egR, egs = mf.egrad_from_csr(CsR, st.R, st.s_ex, lam)
     pgR, pgs = mf.project(st.R, s, egR, egs)
     rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
     gradnorm = jnp.sqrt(rdotr0)
@@ -351,7 +360,7 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
     def stopped(_):
         return TRState(st.R, st.s_ex, st.loss, st.delta, st.shrink_count,
                        st.endreason, st.k, st.total_inner, gradnorm,
-                       jnp.asarray(True), done_reason_now)
+                       jnp.asarray(True), done_reason_now, st.QsR)
 
     def work(_):
         # CsR = 2 Q sR reused from the gradient GEMM (mf.egrad_csr) — the
@@ -362,12 +371,16 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
             st.delta, lam, cfg, minv=minv)
         total_inner = st.total_inner + iters
 
-        loss_qu = (mf.inner(vR, hvR, vs, hvs, s) / 2.0
-                   + mf.inner(vR, pgR, vs, pgs, s))
+        # <v, Hv>/2 + <v, g> folded into ONE metric reduction pass
+        loss_qu = mf.inner(vR, 0.5 * hvR + pgR, vs, 0.5 * hvs + pgs, s)
         bad_model = loss_qu >= 0.0
 
         R_new, s_ex_new = mf.retract(st.R, st.s_ex, vR, vs, 1.0)
-        loss_new = mf.objective(qmul, R_new, s_ex_new, lam)
+        sR_new = mf.flatten(mf.scale_blocks(R_new, s_ex_new))
+        dfdsR_new = mf.unflatten(2.0 * qmul(sR_new))
+        s_new = s_ex_new[1:]
+        loss_new = (0.5 * jnp.vdot(mf.flatten(dfdsR_new), sR_new)
+                    + lam * jnp.sum((s_new * s_new - 1.0) ** 2))
         rho = (loss_new - st.loss) / loss_qu
 
         shrink = rho < 0.25
@@ -395,6 +408,8 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         s_ex_out = jnp.where(keep_new, s_ex_new, st.s_ex)
         loss_out = jnp.where(keep_new & (~bad_model), loss_new, st.loss)
         loss_out = jnp.where(bad_model, st.loss, loss_out)
+        QsR_out = (None if st.QsR is None
+                   else jnp.where(keep_new, dfdsR_new, st.QsR))
 
         hit_small = endreason == ER_SMALL_RDOTR
         done = bad_model | delta_dead | early_stop | hit_small
@@ -409,7 +424,7 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         shrink_out = jnp.where(bad_model, st.shrink_count, shrink_count)
         return TRState(R_out, s_ex_out, loss_out, delta_out, shrink_out,
                        endreason, st.k + 1, total_inner, gradnorm, done,
-                       done_reason)
+                       done_reason, QsR_out)
 
     return jax.lax.cond(stop_now, stopped, work, None)
 
@@ -444,9 +459,13 @@ def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
     """Initial TR state, fully on device (host-side eager ops cost ~20 ms
     each on remote-dispatch platforms)."""
     qmul = as_qop(Q).apply
-    loss0 = mf.objective(qmul, R0, s_ex0, lam)
+    sR0 = mf.flatten(mf.scale_blocks(R0, s_ex0))
+    QsR0 = mf.unflatten(2.0 * qmul(sR0))
+    s0 = s_ex0[1:]
+    loss0 = (0.5 * jnp.vdot(mf.flatten(QsR0), sR0)
+             + lam * jnp.sum((s0 * s0 - 1.0) ** 2))
     return TRState(
-        R=R0, s_ex=s_ex0, loss=loss0, delta=delta_bar / 8.0,
+        R=R0, s_ex=s_ex0, loss=loss0, QsR=QsR0, delta=delta_bar / 8.0,
         shrink_count=jnp.zeros((), jnp.int32),
         endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
         k=jnp.zeros((), jnp.int32),

@@ -163,6 +163,8 @@ def _scale_metric():
                                         cfg=cfg, Q32=Q32)
             jax.device_get(res.primal)
             out["scale_polish_s"] = round(time.perf_counter() - t0, 3)
+            out["scale_polish_iters"] = (int(res.outer_iters),
+                                         int(res.total_inner))
             sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
             cert = certify(Q, sR, 0.0, res.primal)  # warmup/compile
             t0 = time.perf_counter()

@@ -276,3 +276,38 @@ class TestImplicitCertificateAtScale:
         cb_dense = certify(jnp.asarray(C), sRb, 0.0, pb)
         cb_impl = certify(Q, sRb, 0.0, pb)
         assert bool(cb_dense.certified) == bool(cb_impl.certified) == False  # noqa: E712
+
+
+def test_implicit_psd_probe_chunked_continuation():
+    """The CG shift probe must give the same verdict regardless of the
+    host-continuation chunk size (device programs are bounded per CLAUDE
+    platform rule 3; the chunked loop replays one compiled program)."""
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.solver.certificate import _implicit_psd_probe
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene = make_scene(n_cameras=24, n_points=72, obs_per_camera=10,
+                       noise=1e-3, seed=3)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    res = solve_arrays(Q, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    sR = jnp.asarray(res.R.reshape(-1, res.R.shape[-1]), jnp.float64)
+
+    shift = jnp.asarray(1e-3, jnp.float64)
+    psd_big, _, it_big = _implicit_psd_probe(Q, sR, 0.0, shift, chunk=512)
+    psd_small, _, it_small = _implicit_psd_probe(Q, sR, 0.0, shift, chunk=3)
+    assert bool(psd_big) == bool(psd_small)
+    assert int(it_big) == int(it_small)
+
+    # an indefinite Z (random far-from-optimal point) must be refuted with a
+    # sound witness p: p' (Z + shift I) p <= 0
+    rng = np.random.default_rng(0)
+    n = Q.n_cameras
+    R_bad = mf.mgs_rows(jnp.asarray(rng.standard_normal((n, 3, 3))))
+    sR_bad = mf.flatten(R_bad)
+    psd_bad, wdir, _ = _implicit_psd_probe(Q, sR_bad, 0.0, shift, chunk=7)
+    assert not bool(psd_bad)
+    from xmtpu.solver.certificate import _implicit_z_parts
+    zmul, _ = _implicit_z_parts(Q, sR_bad, jnp.asarray(0.0, jnp.float64))
+    w = np.asarray(wdir)
+    quad = float(w @ (np.asarray(zmul(wdir[:, None]))[:, 0] + shift * w))
+    assert quad <= 0.0

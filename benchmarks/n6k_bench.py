@@ -59,7 +59,10 @@ def main():
     Qmix = Q.edge_f32()
     R0 = mf.identity_frames(N, 3)
     s0 = jnp.ones((N,), jnp.float64)
-    cfg = tr.TRConfig(chunk=50, inner_f32=True)
+    # chunk=5: at this size a 50-outer-iteration device program runs for
+    # minutes and the remote TPU worker kills it (observed; CLAUDE rule 3) —
+    # bound each program to a few outers and continue from the host
+    cfg = tr.TRConfig(chunk=5, inner_f32=True)
 
     def run():
         return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,

@@ -429,9 +429,12 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
     return jax.lax.cond(stop_now, stopped, work, None)
 
 
-@partial(jax.jit, static_argnames=("cfg", "kmax"))
+@partial(jax.jit, static_argnames=("cfg",))
 def _run_chunk(Q, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
-               kmax: int, Q32=None) -> TRState:
+               kmax, Q32=None) -> TRState:
+    """``kmax`` (the global outer-iteration bound for this chunk) is TRACED:
+    successive chunks pass 5, 10, 15, ... and a static bound would recompile
+    the whole TR program per chunk — minutes each on the remote platform."""
     qop = as_qop(Q)
     qmul = qop.apply
     Cdiag = qop.diag_blocks() if cfg.precondition else None

@@ -308,7 +308,8 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
            precision: str = "f64", inner_f32: bool = False, Q32=None,
            checkpoint_path=None, ckpt_meta=None):
-    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
+    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,
+                      chunk=tr.auto_chunk(R0.shape[0]))
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
     kw = {}
@@ -431,7 +432,8 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             st = tr_state_from_checkpoint(mid_resume)
             dim = n * (3 * o - 6) + n - 1
             delta_bar = float(np.sqrt(dim))
-            cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32)
+            cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,
+                              chunk=tr.auto_chunk(n))
             res = tr.continue_chunks(
                 stage_q, st, mid_resume.lam, gradtol, delta_bar, cfg,
                 Q32=stage_q32 if inner_f32 else None,
@@ -452,7 +454,8 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                 precision, bound, prev_escape_v, inner_f32=inner_f32,
                 with_cert=not rank3_only, escape_dir=escape_dir,
                 linesearch_step=(1.0 if escape_dir is not None else 0.0),
-                checkpoint_path=mid_path, ckpt_meta=meta)
+                chunk=tr.auto_chunk(n), checkpoint_path=mid_path,
+                ckpt_meta=meta)
             primal_v, reason_v, outer_v, inner_v = scal
         else:
             res = _stage(stage_q, R0, s_ex, lam, gradtol, max_time,

@@ -135,6 +135,20 @@ class TRConfig:
         return cfg32, max(float(gradtol), 1e-5)
 
 
+def auto_chunk(n: int, default: int = 100) -> int:
+    """Size-aware outer-iterations-per-device-program bound.
+
+    Remote TPU runtimes kill long-running programs (CLAUDE platform rule 3;
+    observed: a 50-outer chunk at n=6144 crashes the worker).  Scale the
+    chunk down with camera count so one program stays ~tens of seconds.
+    """
+    if n <= 2000:
+        return default
+    if n <= 4000:
+        return min(default, 25)
+    return min(default, 5)
+
+
 class TRState(NamedTuple):
     R: jax.Array          # (n, 3, o)
     s_ex: jax.Array       # (n,)

@@ -217,3 +217,13 @@ def test_mid_stage_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(res.primal, ref.primal, rtol=1e-10,
                                atol=1e-12)
     np.testing.assert_allclose(res.s_ex, ref.s_ex, rtol=1e-7)
+
+
+def test_auto_chunk_policy():
+    from xmtpu.solver.trust_region import auto_chunk
+
+    assert auto_chunk(149) == 100
+    assert auto_chunk(2000) == 100
+    assert auto_chunk(3000) == 25
+    assert auto_chunk(6144) == 5
+    assert auto_chunk(6144, default=3) == 3

@@ -158,9 +158,16 @@ def _scale_metric():
             # pipeline's certification-grade operating point — lands in the
             # deep 0.3726 basin), then run the matvec-only certificate on
             # the exact f64 operator (deflated bound + CG probe).
+            # stop_on_collapse: the mixed-edge operator has a ~5e-8 relative
+            # noise floor — gradnorm stalls around 9e-3 on this problem and
+            # every outer after the first radius collapse is rejection churn
+            # (measured: 26 of 31 polish outers rejected without moving the
+            # loss).  The certificate (exact f64 operator) decides anyway.
+            cfg_pol = tr.TRConfig(chunk=50, inner_f32=True,
+                                  stop_on_collapse=True)
             t0 = time.perf_counter()
             res = tr.trust_region_solve(op, res.R, res.s_ex, 0.0, 1e-3,
-                                        cfg=cfg, Q32=Q32)
+                                        cfg=cfg_pol, Q32=Q32)
             jax.device_get(res.primal)
             out["scale_polish_s"] = round(time.perf_counter() - t0, 3)
             out["scale_polish_iters"] = (int(res.outer_iters),

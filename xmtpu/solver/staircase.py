@@ -307,9 +307,11 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
 
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
            precision: str = "f64", inner_f32: bool = False, Q32=None,
-           checkpoint_path=None, ckpt_meta=None):
+           checkpoint_path=None, ckpt_meta=None,
+           stop_on_collapse: bool = False):
     cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,
-                      chunk=tr.auto_chunk(R0.shape[0]))
+                      chunk=tr.auto_chunk(R0.shape[0]),
+                      stop_on_collapse=stop_on_collapse)
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
     kw = {}
@@ -458,10 +460,15 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                 ckpt_meta=meta)
             primal_v, reason_v, outer_v, inner_v = scal
         else:
+            # mixed-edge stages: the approximate operator's ~5e-8 relative
+            # noise floor makes every outer after the first trust-radius
+            # collapse rejection churn — stop there (the exact-operator
+            # certificate decides certification either way)
             res = _stage(stage_q, R0, s_ex, lam, gradtol, max_time,
                          escape_dir, verbose, precision, inner_f32,
                          Q32=stage_q32, checkpoint_path=mid_path,
-                         ckpt_meta=meta)
+                         ckpt_meta=meta,
+                         stop_on_collapse=stage_q is not Cq)
             # one batched scalar fetch per stage
             primal_v, reason_v, outer_v, inner_v = (
                 np.asarray(x) for x in jax.device_get(

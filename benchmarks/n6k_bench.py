@@ -12,7 +12,12 @@ Measures on the real TPU:
     exact f64 operator.
 
 Shapes are fixed so the persistent compile cache makes reruns cheap.
-Usage: python benchmarks/n6k_bench.py [--chol-too]
+Usage: python benchmarks/n6k_bench.py [--chol-too] [--no-pallas]
+
+``--no-pallas`` routes the mixed operator's f32 segment reductions through
+XLA sorted scatter instead of the Pallas kernel — the r2 sessions saw the
+n=6144 TR program compile for >45 min on the remote compiler with the
+Pallas path; the scatter variant is the fallback to get a first number.
 """
 
 import sys
@@ -56,7 +61,7 @@ def main():
         print(f"  ns-vs-chol rel err: {err:.2e}")
 
     Q32 = cast_qop(Q, jnp.float32)
-    Qmix = Q.edge_f32()
+    Qmix = Q.edge_f32(pallas=False if "--no-pallas" in sys.argv else None)
     R0 = mf.identity_frames(N, 3)
     s0 = jnp.ones((N,), jnp.float64)
     # chunk=5: at this size a 50-outer-iteration device program runs for

@@ -112,6 +112,38 @@ def test_sharded_schurq_staircase_and_edge_f32(problem):
     assert np.isfinite(res_mix.primal)
 
 
+def test_sharded_schurq_indivisible_n_pads_cameras():
+    """n % mesh != 0: the camera axis is zero-extended with phantom cameras
+    (ops.schurq.pad_cameras) so Q1/V1 genuinely row-shard — no silently
+    replicated camera leaf (VERDICT r2 item 6) — and the certified staircase
+    reproduces the unsharded optimum with the padding sliced back off."""
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.parallel.mesh import shard_schurq, solve_arrays_sharded
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene = make_scene(n_cameras=21, n_points=70, obs_per_camera=25,
+                       noise=1e-4, seed=17)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    assert Q.n_cameras % 8 != 0
+    mesh = make_mesh(8)
+    Qs = shard_schurq(mesh, Q)
+    assert Qs.n_cameras == 24                       # padded to divisibility
+    assert not Qs.Q1.is_fully_replicated            # genuinely sharded
+    assert not Qs.V1.is_fully_replicated
+    assert Qs.Q1.sharding.spec[0] == "cam"
+    assert Qs.VT_inv.shape == (24, 23)
+
+    res_single = solve_arrays(Q, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    res_shard = solve_arrays_sharded(mesh, Q, max_rank=4, tol=1e-8, lam=0.0,
+                                     verbose=False)
+    assert res_shard.certified == res_single.certified
+    # results come back at the ORIGINAL size, padding sliced off
+    assert res_shard.R.shape[0] == 3 * 21
+    assert res_shard.s_ex.shape[0] == 21
+    np.testing.assert_allclose(res_shard.primal, res_single.primal,
+                               rtol=1e-8, atol=1e-11)
+
+
 def test_sharded_staircase_certifies(problem):
     """The full certified staircase (fused stage+certificate program) runs
     under GSPMD with the cost matrix row-sharded over the 8-device mesh and

@@ -36,6 +36,16 @@ class QOperator:
         Used by the trust-region solver's block-Jacobi tCG preconditioner."""
         return None
 
+    @property
+    def psd_by_construction(self) -> bool:
+        """True when the operator is structurally PSD — built as (a Schur
+        complement of) a sum of squares, so ``lam_min(C) >= 0`` holds as an
+        algebraic fact up to the operator's own construction rounding.  The
+        implicit certificate then gets a rigorous O(n) acceptance shortcut:
+        ``Z = C + Delta`` with block-diagonal ``Delta``, hence
+        ``lam_min(Z) >= min_i lam_min(Delta_i)`` (certificate.certify)."""
+        return False
+
     def __call__(self, Y: jax.Array) -> jax.Array:
         return self.apply(Y)
 

@@ -274,6 +274,17 @@ class SchurQ(QOperator):
         conservative; the exact blocks would need n factored applies."""
         return self.Q1
 
+    @property
+    def psd_by_construction(self) -> bool:
+        """The XM cost is a sum of squared edge residuals partially minimized
+        (Schur-complemented) over landmark depths and translations
+        (creatematrix.py:118-177 equivalent); partial minimization of a PSD
+        quadratic form is PSD, so ``lam_min >= 0`` holds algebraically — up
+        to this build's own rounding (f64 assembly + the ``VT_inv``
+        Newton-Schulz/Cholesky residual, ~1e-10 relative; orders below the
+        certificate's 1e-4..1e-3 acceptance bound)."""
+        return True
+
     def recover_y(self, sR: jax.Array) -> jax.Array:
         """Optimal translations/landmarks for a solved factor: the (N+M-1, o)
         stack ``[t_1..t_{N-1}; p_0..p_{M-1}]`` = ``Abar @ sR``."""
@@ -313,6 +324,49 @@ class SchurQ(QOperator):
                 band_f=max_band(np.asarray(f_ids)),
                 interpret=jax.default_backend() != "tpu")
         return q
+
+
+def pad_cameras(Q, n_pad: int):
+    """Zero-extend the camera axis of a :class:`SchurQ` (or
+    :class:`SchurQEdgeF32`) with ``n_pad - n`` phantom cameras.
+
+    Phantom cameras carry zero ``Q1``/``V1`` blocks and no observations:
+    they contribute exactly nothing to the quadratic form (apply() returns
+    zero rows for them), the trust-region solver leaves their frames at the
+    initial iterate (zero gradient), and the certificate sees zero dual
+    blocks (the per-camera Gram is floored — ``_solve_spd_small`` ridge — so
+    the phantom least-squares blocks solve to y = 0 and ``Z`` gains exact
+    zero eigenvalues, which never flip a ``lam_min > -bound`` decision).
+
+    Purpose: arbitrary ``n`` row-shards over a device mesh — the real-data
+    analog of ``VT_inv``'s zero-row padding (VERDICT r2 item 6; real view
+    graphs do not come mesh-divisible).  ``parallel.mesh.shard_schurq``
+    calls this automatically.
+    """
+    import dataclasses
+
+    n = Q.n_cameras
+    if n_pad == n:
+        return Q
+    assert n_pad > n
+    pad = n_pad - n
+    upd = {
+        "Q1": jnp.pad(Q.Q1, ((0, pad), (0, 0), (0, 0))),
+        "V1": jnp.pad(Q.V1, ((0, pad), (0, 0))),
+    }
+    # VT_inv becomes (>= n_pad-1, n_pad-1): zero COLUMNS for the phantom
+    # translation coordinates (their rhs entries are exact zeros anyway) and
+    # zero ROWS so phantom solves return 0 (solve_M slices rows back)
+    vt = Q.VT_inv
+    rows = max(vt.shape[0], n_pad - 1)
+    vt_new = jnp.zeros((rows, n_pad - 1), vt.dtype)
+    upd["VT_inv"] = vt_new.at[: vt.shape[0], : vt.shape[1]].set(vt)
+    if hasattr(Q, "bounds_f"):
+        # phantom frame segments are empty: repeat the last boundary
+        last = Q.bounds_f[-1]
+        upd["bounds_f"] = jnp.concatenate(
+            [Q.bounds_f, jnp.broadcast_to(last, (pad,))])
+    return dataclasses.replace(Q, **upd)
 
 
 def _split_f32(x):

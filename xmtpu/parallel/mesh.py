@@ -131,8 +131,16 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
     from dataclasses import fields, replace
 
     from xmtpu.ops.qop import QOperator
+    from xmtpu.ops.schurq import pad_cameras
 
     assert isinstance(Q, QOperator) and not hasattr(Q, "C")
+    n_dev_cam = mesh.devices.size
+    n = Q.n_cameras
+    if n % n_dev_cam:
+        # arbitrary n: zero-extend the camera axis with phantom cameras so
+        # Q1/V1 (and R/s through the solve) genuinely row-shard instead of
+        # silently replicating (VERDICT r2 item 6)
+        Q = pad_cameras(Q, n + (-n) % n_dev_cam)
     row1 = P(axis)
     row2 = P(axis, None)
     row3 = P(axis, None, None)
@@ -170,10 +178,12 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
                 val = jnp.concatenate(
                     [val, jnp.broadcast_to(val[-1], (pad,))])
             else:
-                # per-camera leaves (Q1, V1) carry the live n dimension —
-                # padding would change apply()'s shapes; replicate instead
-                # (real deployments size n to the mesh)
-                spec = P()
+                # unreachable for camera leaves since pad_cameras above made
+                # n mesh-divisible; any other leaf reaching here is a layout
+                # bug — fail loudly rather than silently replicate
+                raise ValueError(
+                    f"leaf {f.name} with shape {val.shape} does not divide "
+                    f"the {n_dev_cam}-device mesh and has no padding rule")
         out[f.name] = jax.device_put(val, NamedSharding(mesh, spec))
     return replace(Q, **out)
 
@@ -191,9 +201,15 @@ def solve_arrays_sharded(mesh: Mesh, C, axis: str = "cam", **kwargs):
     from xmtpu.ops.qop import QOperator
     from xmtpu.solver.staircase import solve_arrays
 
+    n_orig = None
     if isinstance(C, QOperator) and not hasattr(C, "C"):
+        n_orig = C.n_cameras
         C = shard_schurq(mesh, C, axis)
     else:
         C = jax.device_put(jnp.asarray(C, jnp.float64),
                            NamedSharding(mesh, P(axis, None)))
-    return solve_arrays(C, **kwargs)
+    res = solve_arrays(C, **kwargs)
+    if n_orig is not None and C.n_cameras != n_orig:
+        # slice the phantom padding cameras back off (pad_cameras)
+        res = res._replace(R=res.R[: 3 * n_orig], s_ex=res.s_ex[:n_orig])
+    return res

@@ -65,7 +65,12 @@ class TRCheckpoint(NamedTuple):
 
 
 _TR_FIELDS = ("R", "s_ex", "loss", "delta", "shrink_count", "endreason",
-              "k", "total_inner", "gradnorm", "done", "done_reason")
+              "k", "total_inner", "gradnorm", "done", "done_reason",
+              # optimization carries (ADVICE r2): QsR keeps the resumed solve
+              # on the one-matvec-per-outer path and the same compiled program
+              # structure; collapse_gn keeps the stop_on_collapse stall gate's
+              # history across a resume
+              "QsR", "collapse_gn")
 
 
 def save_tr_checkpoint(path: str, state, k_done: int, rank: int,
@@ -77,26 +82,42 @@ def save_tr_checkpoint(path: str, state, k_done: int, rank: int,
 
     import jax
 
-    vals = jax.device_get(tuple(getattr(state, f) for f in _TR_FIELDS))
+    fields = [f for f in _TR_FIELDS if getattr(state, f) is not None]
+    vals = jax.device_get(tuple(getattr(state, f) for f in fields))
     tmp = path + ".tmp.npz"
     np.savez(tmp, kind="tr_mid", k_done=k_done, rank=rank, gradtol=gradtol,
              lam=lam, **{f"st_{f}": np.asarray(v)
-                         for f, v in zip(_TR_FIELDS, vals)})
+                         for f, v in zip(fields, vals)})
     os.replace(tmp, path)
 
 
 def _tr_from_npz(z) -> TRCheckpoint:
     return TRCheckpoint(
-        state_arrays={f: z[f"st_{f}"] for f in _TR_FIELDS},
+        state_arrays={f: z[f"st_{f}"] for f in _TR_FIELDS if f"st_{f}" in z},
         k_done=int(z["k_done"]), rank=int(z["rank"]),
         gradtol=float(z["gradtol"]), lam=float(z["lam"]))
 
 
-def tr_state_from_checkpoint(ck: TRCheckpoint):
-    """Rebuild a device ``TRState`` from a mid-stage checkpoint."""
+def tr_state_from_checkpoint(ck: TRCheckpoint, Q=None, lam: float = 0.0):
+    """Rebuild a device ``TRState`` from a mid-stage checkpoint.
+
+    ``QsR``/``collapse_gn`` are restored when present.  For legacy files
+    without ``QsR``, pass the stage operator ``Q`` to recompute it (one
+    matvec) so the resumed solve keeps the carried-matvec program structure
+    instead of silently compiling the two-matvec variant (ADVICE r2).
+    """
     import jax.numpy as jnp
 
+    from xmtpu.ops import manifold as mf
+    from xmtpu.ops.qop import as_qop
     from xmtpu.solver.trust_region import TRState
 
-    return TRState(**{f: jnp.asarray(ck.state_arrays[f])
-                      for f in _TR_FIELDS})
+    kw = {f: jnp.asarray(ck.state_arrays[f])
+          for f in _TR_FIELDS if f in ck.state_arrays}
+    if "QsR" not in kw and Q is not None:
+        R = kw["R"]
+        sR = mf.flatten(mf.scale_blocks(R, kw["s_ex"]))
+        kw["QsR"] = mf.unflatten(2.0 * as_qop(Q).apply(sR))
+    if "collapse_gn" not in kw:
+        kw["collapse_gn"] = jnp.asarray(jnp.inf, kw["R"].dtype)
+    return TRState(**kw)

@@ -149,6 +149,7 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
             gradnorm=jnp.asarray(jnp.inf, jnp.float64),
             done=jnp.asarray(True),
             done_reason=jnp.asarray(tr.DONE_LINESEARCH_FAIL, jnp.int32),
+            collapse_gn=jnp.asarray(jnp.inf, jnp.float64),
         )
         if cfg32 is None:
             return bad, None
@@ -431,7 +432,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             # finish the interrupted rank from its chunk-boundary state
             from xmtpu.solver.checkpoint import tr_state_from_checkpoint
 
-            st = tr_state_from_checkpoint(mid_resume)
+            st = tr_state_from_checkpoint(mid_resume, Q=stage_q)
             dim = n * (3 * o - 6) + n - 1
             delta_bar = float(np.sqrt(dim))
             cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,

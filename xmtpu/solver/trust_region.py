@@ -166,6 +166,13 @@ class TRState(NamedTuple):
     # operator matvec per outer iteration instead of two.  Optional (None =
     # legacy construction sites; the gradient then recomputes it).
     QsR: "jax.Array | None" = None
+    # gradnorm recorded at the most recent trust-radius collapse (+inf before
+    # the first).  Drives the stop_on_collapse stall gate: the early stop
+    # fires only at a collapse whose gradnorm has not materially improved
+    # since the previous collapse — evidence the operator noise floor was
+    # reached, not a mis-sized radius (e.g. right after a rank lift).
+    # Optional like QsR; must be materialized whenever stop_on_collapse=True.
+    collapse_gn: "jax.Array | None" = None
 
 
 class TRResult(NamedTuple):
@@ -374,7 +381,8 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
     def stopped(_):
         return TRState(st.R, st.s_ex, st.loss, st.delta, st.shrink_count,
                        st.endreason, st.k, st.total_inner, gradnorm,
-                       jnp.asarray(True), done_reason_now, st.QsR)
+                       jnp.asarray(True), done_reason_now, st.QsR,
+                       st.collapse_gn)
 
     def work(_):
         # CsR = 2 Q sR reused from the gradient GEMM (mf.egrad_csr) — the
@@ -407,11 +415,25 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         delta = jnp.where(collapse, delta * 1e-3, delta)
         shrink_count = jnp.where(collapse, 0, shrink_count)
         delta_dead = collapse & (delta < cfg.delta_min)
-        # early stop at the first collapse (f32 rho-noise floor).  Unlike
-        # delta_dead it does NOT bypass the rejection test below: the radius
-        # is still full-size here, so a kept bad step would be materially
-        # worse than the last accepted iterate.
-        early_stop = collapse if cfg.stop_on_collapse else jnp.asarray(False)
+        # Early stop at a trust-radius collapse — but only with EVIDENCE of
+        # the operator noise floor (ADVICE r2: a collapse right after a rank
+        # lift with a mis-sized radius must not end the stage far from
+        # stationarity).  Gate on gradnorm stall across collapses: stop at
+        # the first collapse whose gradnorm has not at least halved since
+        # the previous collapse.  At a genuine noise floor the next collapse
+        # arrives ~4 rejected outers later with gradnorm pinned (cheap,
+        # bounded churn); after a bad-radius collapse the solver re-expands
+        # and any later collapse comes with real progress made.  Unlike
+        # delta_dead the stop does NOT bypass the rejection test below: the
+        # radius is still full-size here, so a kept bad step would be
+        # materially worse than the last accepted iterate.
+        if cfg.stop_on_collapse:
+            stalled = gradnorm > 0.5 * st.collapse_gn
+            early_stop = collapse & stalled
+            collapse_gn = jnp.where(collapse, gradnorm, st.collapse_gn)
+        else:
+            early_stop = jnp.asarray(False)
+            collapse_gn = st.collapse_gn
 
         # rejection keeps the previous iterate (trustregion.h:702-708); the
         # delta-collapse break in the reference skips the rejection check, so
@@ -436,9 +458,12 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         # discarded too (the reference breaks before touching them).
         delta_out = jnp.where(bad_model, st.delta, delta)
         shrink_out = jnp.where(bad_model, st.shrink_count, shrink_count)
+        collapse_gn_out = (None if collapse_gn is None
+                           else jnp.where(bad_model, st.collapse_gn,
+                                          collapse_gn))
         return TRState(R_out, s_ex_out, loss_out, delta_out, shrink_out,
                        endreason, st.k + 1, total_inner, gradnorm, done,
-                       done_reason, QsR_out)
+                       done_reason, QsR_out, collapse_gn_out)
 
     return jax.lax.cond(stop_now, stopped, work, None)
 
@@ -490,6 +515,7 @@ def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
         gradnorm=jnp.asarray(jnp.inf, R0.dtype),
         done=jnp.asarray(False),
         done_reason=jnp.asarray(RUNNING, jnp.int32),
+        collapse_gn=jnp.asarray(jnp.inf, R0.dtype),
     )
 
 

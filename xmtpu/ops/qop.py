@@ -56,13 +56,25 @@ class DenseQ(QOperator):
     """Dense Q — one MXU GEMM per apply.
 
     f64 by default for parity with the reference (``datatype = double``).
+
+    ``psd_hint``: static flag a caller may set when the matrix is known PSD
+    by construction (e.g. assembled in full f64 by ``create_matrix`` — the
+    same Schur-complement-of-squares build as the reference's Q.bin).  Feeds
+    the certificate's structural acceptance bound; leave False for matrices
+    of unknown provenance or mixed-precision assemblies whose rounding
+    (~1e-6 relative) exceeds the certificate's acceptance bound.
     """
 
     C: jax.Array
+    psd_hint: bool = False
 
     @property
     def dim(self) -> int:
         return self.C.shape[0]
+
+    @property
+    def psd_by_construction(self) -> bool:
+        return self.psd_hint
 
     def apply(self, Y: jax.Array) -> jax.Array:
         return jnp.dot(self.C, Y, precision=jax.lax.Precision.HIGHEST)
@@ -73,11 +85,11 @@ class DenseQ(QOperator):
         return self.C.reshape(n, 3, n, 3)[idx, :, idx, :]
 
     def tree_flatten(self):
-        return (self.C,), None
+        return (self.C,), (self.psd_hint,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
 
 def q_apply(Q, Y: jax.Array) -> jax.Array:

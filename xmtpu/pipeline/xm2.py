@@ -105,9 +105,15 @@ def _assemble_operator(weights, edges, landmarks, verbose, implicit,
         from xmtpu.ops.schurq import SchurQ
 
         return SchurQ.build(weights, edges, landmarks), None, True
+    from xmtpu.ops.qop import DenseQ
+
     C, Abar = create_matrix_arrays(weights, edges, landmarks,
                                    precision=precision)
-    return C, Abar, False
+    # full-f64 assembly is the same Schur-complement-of-squares build as the
+    # reference's Q.bin: structurally PSD, so the certificate gets the O(n)
+    # Delta-bound acceptance shortcut.  The mixed assembly's ~1e-6 relative
+    # rounding exceeds the acceptance bound — no hint there.
+    return DenseQ(C, psd_hint=(precision == "f64")), Abar, False
 
 
 def _solve_recover(op, Abar, implicit, max_rank, tol, lam, max_time, verbose,

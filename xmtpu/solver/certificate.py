@@ -487,7 +487,7 @@ class ProbeResult(NamedTuple):
     wdir: jax.Array     # witness direction when refuted
 
 
-def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: int = 512,
+def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
                         v0=None, has_v0: bool = False, chunk: int = 64,
                         min_explore: int = 32) -> ProbeResult:
     """CG shift probe: decides ``lam_min(Z) > -shift`` through the factored
@@ -541,6 +541,14 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: int = 512,
     import numpy as _np
 
     three_n = sR.shape[0]
+    if max_iters is None:
+        # CG reaches the full Krylov space in at most dim steps — a budget
+        # of ~dim (+ margin for floating-point loss of finite termination)
+        # makes the probe an all-but-exact decision procedure, which is why
+        # small problems always resolve.  Cap the worst case: beyond the cap
+        # a marginal spectrum (lam_min within ~1e-1 of -shift relative to
+        # the preconditioned spread) stays honestly inconclusive.
+        max_iters = int(min(max(512, 1.1 * three_n + 64), 8192))
 
     def start_vec(probe_idx: int):
         if probe_idx == 0 and has_v0 and v0 is not None:
@@ -691,6 +699,62 @@ def finish_auto_certificate(Z, n: int, bound: float, primal_v: float,
     return certified, v, lam_min, gap, dual
 
 
+# above this Z dimension (3n), a TPU-backend dense certificate routes
+# through the matvec flow first: the emulated-f64 Cholesky probe is O(n^3)
+# (minutes at 3n ~ 5800 — the XM2 pipeline's dominant phase, VERDICT r2
+# item 3) while the deflated Lanczos bound + Delta bound + CG probe cost
+# ~50-500 MXU GEMVs.  The Cholesky probe remains the fallback when the
+# matvec flow is inconclusive, and the only path on CPU (LAPACK Cholesky is
+# fast there).
+DENSE_MATVEC_CERT_DIM = 4096
+
+
+def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
+    """Matvec-only certificate decision flow (shared by implicit operators
+    and large dense ones): deflated two-block Lanczos bound + structural
+    Delta bound, with the convergence-gated CG shift probe as the decider.
+
+    Returns ``(certified, v, lam_min, gap, dual, conclusive)`` —
+    ``conclusive=False`` means neither acceptance nor refutation was
+    established (truncated probe); dense callers then fall back to the
+    Cholesky probe."""
+    n = sR.shape[0] // 3
+    lam_min, v, gap, dual, resid, lam_U, delta_min = _certify_core_matvec(
+        Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
+    (lam_min_v, gap_v, resid_v, dual_v, primal_v) = (
+        float(x) for x in jax.device_get(
+            (lam_min, gap, resid, dual, primal)))
+    del lam_U, delta_min  # folded into the deflated lower bound already
+    certified = (gap_v / primal_v < 1e-3) or (lam_min_v - resid_v > -bound)
+    conclusive = True
+    if not certified and lam_min_v > -bound:
+        # the Ritz ESTIMATE is inside the acceptance region but the
+        # cluster-limited lower bound is not: CG shift probe of the full
+        # Z at shift = bound, started from the lowest Ritz direction.  A
+        # CONVERGED clean pass accepts lam_min(Z) > -bound (the
+        # reference's min-eig branch, checkeig.h:349-360) in the
+        # explored-Krylov sense; negative curvature is a sound
+        # refutation + escape dir; a budget-exhausted pass is
+        # inconclusive (VERDICT r2).
+        shift = jnp.asarray(bound, jnp.float64)
+        pr = _implicit_psd_probe(Q, sR, lam, shift, v0=v, has_v0=True)
+        if pr.accept:
+            certified = True
+            # reference gap semantics: min-eig acceptance treats lam_min
+            # as bounded below by -bound
+            gap = jnp.asarray(primal_v - dual_v + 3.0 * n * bound)
+        elif pr.refuted:
+            # sound indefiniteness witness: p' Z p <= -shift ||p||^2
+            v = pr.wdir / jnp.linalg.norm(pr.wdir)
+        else:
+            conclusive = False
+            if verbose:
+                print(f"[certify] shift probe inconclusive after "
+                      f"{pr.iters} matvecs (no convergence, no negative "
+                      f"curvature)")
+    return certified, v, lam_min, gap, dual, conclusive
+
+
 def certify(C, sR, lam, primal, verbose: bool = False,
             method: str = "auto", v0=None) -> CertificateResult:
     """Check global optimality of the rank-o point ``sR``.
@@ -711,6 +775,25 @@ def certify(C, sR, lam, primal, verbose: bool = False,
     lam = jnp.asarray(lam, jnp.float64)
     primal = jnp.asarray(primal, jnp.float64)
     bound = _min_eig_bound(n)
+
+    if hasattr(Q, "C") and method == "auto" and (
+            Q.C.shape[0] >= DENSE_MATVEC_CERT_DIM
+            and jax.default_backend() != "cpu"):
+        # large dense on an accelerator: matvec flow first (the emulated-f64
+        # Cholesky probe is the XM2 pipeline's dominant phase at this size,
+        # VERDICT r2 item 3); fall back to the Cholesky probe only when the
+        # matvec flow is inconclusive
+        certified, v, lam_min, gap, dual, conclusive = _matvec_cert_flow(
+            Q, sR, lam, primal, bound, v0, verbose)
+        if conclusive:
+            if verbose:
+                print(f"[certify] primal={float(primal):.6e} "
+                      f"dual={float(dual):.6e} gap={float(gap):.3e} "
+                      f"lam_min={float(lam_min):.3e} "
+                      f"certified={bool(certified)}")
+            return CertificateResult(jnp.asarray(certified), v, lam_min,
+                                     gap, dual, primal)
+        method = "auto"  # fall through to the Cholesky probe below
 
     if hasattr(Q, "C") and method == "auto":
         # Cholesky probe: "lam_min > -bound" is a PSD test of Z + bound I.
@@ -737,40 +820,12 @@ def certify(C, sR, lam, primal, verbose: bool = False,
     else:
         # implicit operator: deflated matvec certificate — the lower bound is
         # the tighter of the two-block Lanczos bound and (for structurally
-        # PSD operators) the O(n) Delta-block bound — with the CG shift
-        # probe as the decider when neither is conclusive
-        lam_min, v, gap, dual, resid, lam_U, delta_min = _certify_core_matvec(
-            Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
-        (lam_min_v, gap_v, resid_v, dual_v, primal_v) = (
-            float(x) for x in jax.device_get(
-                (lam_min, gap, resid, dual, primal)))
-        del lam_U, delta_min  # folded into the deflated lower bound already
-        certified = (gap_v / primal_v < 1e-3) or (
-            lam_min_v - resid_v > -bound)
-        if not certified and lam_min_v > -bound:
-            # the Ritz ESTIMATE is inside the acceptance region but the
-            # cluster-limited lower bound is not: CG shift probe of the full
-            # Z at shift = bound, started from the lowest Ritz direction.  A
-            # CONVERGED clean pass accepts lam_min(Z) > -bound (the
-            # reference's min-eig branch, checkeig.h:349-360) in the
-            # explored-Krylov sense; negative curvature is a sound
-            # refutation + escape dir; a budget-exhausted pass is
-            # inconclusive and leaves the point uncertified (VERDICT r2).
-            shift = jnp.asarray(bound, jnp.float64)
-            pr = _implicit_psd_probe(Q, sR, lam, shift, v0=v, has_v0=True)
-            if pr.accept:
-                certified = True
-                # reference gap semantics: min-eig acceptance treats lam_min
-                # as bounded below by -bound
-                gap = jnp.asarray(
-                    primal_v - dual_v + 3.0 * n * bound)
-            elif pr.refuted:
-                # sound indefiniteness witness: p' Z p <= -shift ||p||^2
-                v = pr.wdir / jnp.linalg.norm(pr.wdir)
-            elif verbose:
-                print(f"[certify] shift probe inconclusive after "
-                      f"{pr.iters} matvecs (no convergence, no negative "
-                      f"curvature) — not certifying")
+        # PSD operators) the O(n) Delta-block bound — with the
+        # convergence-gated CG shift probe as the decider when neither is
+        # conclusive.  An inconclusive flow leaves the point uncertified
+        # (VERDICT r2: acceptance on budget exhaustion was unsound).
+        certified, v, lam_min, gap, dual, _conclusive = _matvec_cert_flow(
+            Q, sR, lam, primal, bound, v0, verbose)
         certified = jnp.asarray(certified)
     if verbose:
         print(f"[certify] primal={float(primal):.6e} dual={float(dual):.6e} "

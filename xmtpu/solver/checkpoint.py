@@ -67,10 +67,10 @@ class TRCheckpoint(NamedTuple):
 _TR_FIELDS = ("R", "s_ex", "loss", "delta", "shrink_count", "endreason",
               "k", "total_inner", "gradnorm", "done", "done_reason",
               # optimization carries (ADVICE r2): QsR keeps the resumed solve
-              # on the one-matvec-per-outer path and the same compiled program
-              # structure; collapse_gn keeps the stop_on_collapse stall gate's
-              # history across a resume
-              "QsR", "collapse_gn")
+              # on the one-matvec-per-outer path and the same compiled
+              # program structure; the collapse counters keep the
+              # stop_on_collapse churn gate's history across a resume
+              "QsR", "collapse_count", "accepts_since_collapse")
 
 
 def save_tr_checkpoint(path: str, state, k_done: int, rank: int,
@@ -118,6 +118,7 @@ def tr_state_from_checkpoint(ck: TRCheckpoint, Q=None, lam: float = 0.0):
         R = kw["R"]
         sR = mf.flatten(mf.scale_blocks(R, kw["s_ex"]))
         kw["QsR"] = mf.unflatten(2.0 * as_qop(Q).apply(sR))
-    if "collapse_gn" not in kw:
-        kw["collapse_gn"] = jnp.asarray(jnp.inf, kw["R"].dtype)
+    for f in ("collapse_count", "accepts_since_collapse"):
+        if f not in kw:
+            kw[f] = jnp.zeros((), jnp.int32)
     return TRState(**kw)

@@ -149,7 +149,8 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
             gradnorm=jnp.asarray(jnp.inf, jnp.float64),
             done=jnp.asarray(True),
             done_reason=jnp.asarray(tr.DONE_LINESEARCH_FAIL, jnp.int32),
-            collapse_gn=jnp.asarray(jnp.inf, jnp.float64),
+            collapse_count=jnp.zeros((), jnp.int32),
+            accepts_since_collapse=jnp.zeros((), jnp.int32),
         )
         if cfg32 is None:
             return bad, None
@@ -425,7 +426,16 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
     mid_path = (checkpoint_path + ".mid" if checkpoint_path is not None
                 else None)
     while o <= max_rank:
-        fused_ok = dense and precision in ("f64", "mixed")
+        # fused stage+certificate saves ~3 host round trips (~100 ms) but
+        # embeds the O(n^3) Cholesky probe in the program; above
+        # DENSE_MATVEC_CERT_DIM on accelerators the separate certify() call
+        # routes through the O(n^2)-per-matvec flow instead — at 3n ~ 5800
+        # the emulated-f64 Cholesky costs minutes (VERDICT r2 item 3)
+        from xmtpu.solver.certificate import DENSE_MATVEC_CERT_DIM
+
+        fused_ok = dense and precision in ("f64", "mixed") and (
+            3 * n < DENSE_MATVEC_CERT_DIM
+            or jax.default_backend() == "cpu")
         cert_pre = None
         meta = dict(rank=o, gradtol=gradtol, lam=float(lam))
         if mid_resume is not None:

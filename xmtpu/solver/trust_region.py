@@ -166,13 +166,16 @@ class TRState(NamedTuple):
     # operator matvec per outer iteration instead of two.  Optional (None =
     # legacy construction sites; the gradient then recomputes it).
     QsR: "jax.Array | None" = None
-    # gradnorm recorded at the most recent trust-radius collapse (+inf before
-    # the first).  Drives the stop_on_collapse stall gate: the early stop
-    # fires only at a collapse whose gradnorm has not materially improved
-    # since the previous collapse — evidence the operator noise floor was
-    # reached, not a mis-sized radius (e.g. right after a rank lift).
-    # Optional like QsR; must be materialized whenever stop_on_collapse=True.
-    collapse_gn: "jax.Array | None" = None
+    # stop_on_collapse churn detector (int32 scalars; None at legacy
+    # construction sites, materialized by _init_state).  The early stop
+    # fires only at a collapse closing a ZERO-ACCEPT collapse-to-collapse
+    # cycle — the operator-noise-floor signature (rho rounding-dominated,
+    # every step rejected).  A collapse from a merely mis-sized radius
+    # (e.g. right after a rank lift) is followed by *accepted* small steps,
+    # which keeps the stage alive (ADVICE r2: the first-collapse stop ended
+    # stages far from stationarity).
+    collapse_count: "jax.Array | None" = None
+    accepts_since_collapse: "jax.Array | None" = None
 
 
 class TRResult(NamedTuple):
@@ -382,7 +385,7 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         return TRState(st.R, st.s_ex, st.loss, st.delta, st.shrink_count,
                        st.endreason, st.k, st.total_inner, gradnorm,
                        jnp.asarray(True), done_reason_now, st.QsR,
-                       st.collapse_gn)
+                       st.collapse_count, st.accepts_since_collapse)
 
     def work(_):
         # CsR = 2 Q sR reused from the gradient GEMM (mf.egrad_csr) — the
@@ -418,22 +421,24 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         # Early stop at a trust-radius collapse — but only with EVIDENCE of
         # the operator noise floor (ADVICE r2: a collapse right after a rank
         # lift with a mis-sized radius must not end the stage far from
-        # stationarity).  Gate on gradnorm stall across collapses: stop at
-        # the first collapse whose gradnorm has not at least halved since
-        # the previous collapse.  At a genuine noise floor the next collapse
-        # arrives ~4 rejected outers later with gradnorm pinned (cheap,
-        # bounded churn); after a bad-radius collapse the solver re-expands
-        # and any later collapse comes with real progress made.  Unlike
-        # delta_dead the stop does NOT bypass the rejection test below: the
-        # radius is still full-size here, so a kept bad step would be
-        # materially worse than the last accepted iterate.
+        # stationarity).  The noise-floor signature is a ZERO-ACCEPT
+        # collapse-to-collapse cycle: rho is rounding-dominated, every step
+        # between two collapses was rejected (measured: SIMPLE1's f32 phase
+        # burns ~3800 tCG iterations in such churn without moving gradnorm).
+        # A mis-sized-radius collapse instead is followed by *accepted*
+        # small steps (the model is accurate at the tiny post-collapse
+        # radius away from the floor), so the counter keeps the stage alive
+        # while the radius re-expands.  Unlike delta_dead the stop does NOT
+        # bypass the rejection test below: the radius is still full-size
+        # here, so a kept bad step would be materially worse than the last
+        # accepted iterate.
         if cfg.stop_on_collapse:
-            stalled = gradnorm > 0.5 * st.collapse_gn
-            early_stop = collapse & stalled
-            collapse_gn = jnp.where(collapse, gradnorm, st.collapse_gn)
+            early_stop = (collapse & (st.collapse_count > 0)
+                          & (st.accepts_since_collapse == 0))
+            collapse_count = st.collapse_count + collapse.astype(jnp.int32)
         else:
             early_stop = jnp.asarray(False)
-            collapse_gn = st.collapse_gn
+            collapse_count = st.collapse_count
 
         # rejection keeps the previous iterate (trustregion.h:702-708); the
         # delta-collapse break in the reference skips the rejection check, so
@@ -458,12 +463,19 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         # discarded too (the reference breaks before touching them).
         delta_out = jnp.where(bad_model, st.delta, delta)
         shrink_out = jnp.where(bad_model, st.shrink_count, shrink_count)
-        collapse_gn_out = (None if collapse_gn is None
-                           else jnp.where(bad_model, st.collapse_gn,
-                                          collapse_gn))
+        if cfg.stop_on_collapse:
+            accepts_out = jnp.where(
+                collapse, 0,
+                st.accepts_since_collapse + keep_new.astype(jnp.int32))
+            cc_out = jnp.where(bad_model, st.collapse_count, collapse_count)
+            accepts_out = jnp.where(bad_model, st.accepts_since_collapse,
+                                    accepts_out)
+        else:
+            cc_out = st.collapse_count
+            accepts_out = st.accepts_since_collapse
         return TRState(R_out, s_ex_out, loss_out, delta_out, shrink_out,
                        endreason, st.k + 1, total_inner, gradnorm, done,
-                       done_reason, QsR_out, collapse_gn_out)
+                       done_reason, QsR_out, cc_out, accepts_out)
 
     return jax.lax.cond(stop_now, stopped, work, None)
 
@@ -515,7 +527,8 @@ def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
         gradnorm=jnp.asarray(jnp.inf, R0.dtype),
         done=jnp.asarray(False),
         done_reason=jnp.asarray(RUNNING, jnp.int32),
-        collapse_gn=jnp.asarray(jnp.inf, R0.dtype),
+        collapse_count=jnp.zeros((), jnp.int32),
+        accepts_since_collapse=jnp.zeros((), jnp.int32),
     )
 
 

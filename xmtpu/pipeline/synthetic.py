@@ -110,7 +110,7 @@ def rotation_errors(R_est_blocks: np.ndarray, R_gt: np.ndarray,
 
 def make_scene_window(n_cameras: int, n_points: int, obs_per_camera: int = 20,
                       noise: float = 0.0, scale_spread: float = 0.3,
-                      seed: int = 0) -> SyntheticScene:
+                      seed: int = 0, long_range: int = 0) -> SyntheticScene:
     """Vectorized large-scale scene generator (Rome-class N ~ 10^4,
     M ~ 10^5): camera i observes a contiguous wrap-around window of
     ``obs_per_camera`` landmarks starting at ``floor(i M / N)``.
@@ -119,6 +119,13 @@ def make_scene_window(n_cameras: int, n_points: int, obs_per_camera: int = 20,
     connected, covers every landmark ``~ N k / M`` times (asserted >= 2),
     and builds in O(E) numpy — ``make_scene``'s per-landmark Python loops
     are quadratic and unusable beyond a few thousand cameras.
+
+    ``long_range``: additionally give every camera this many observations of
+    uniformly random landmarks.  A pure ring has graph diameter ~N and a
+    cycle-Laplacian Hessian spectrum (lam_min ~ 1/N^2) — an adversarial
+    topology no real photo-collection graph has (Rome-class scenes are
+    hub-dominated small-world graphs); a few long-range links per camera
+    collapse the diameter to O(log N) and restore realistic conditioning.
     """
     rng = np.random.default_rng(seed)
     N, M, k = n_cameras, n_points, obs_per_camera
@@ -142,6 +149,10 @@ def make_scene_window(n_cameras: int, n_points: int, obs_per_camera: int = 20,
     f = np.repeat(np.arange(N, dtype=np.int64), k)
     l = (start[:, None] + np.arange(k, dtype=np.int64)[None, :]) % M
     l = l.ravel()
+    if long_range:
+        f = np.concatenate([f, np.repeat(np.arange(N, dtype=np.int64),
+                                         long_range)])
+        l = np.concatenate([l, rng.integers(0, M, size=N * long_range)])
 
     x = np.einsum("eba,eb->ea", Rot[f], p[l] - t[f]) / s[f][:, None]
     if noise > 0:

@@ -12,12 +12,19 @@ Measures on the real TPU:
     exact f64 operator.
 
 Shapes are fixed so the persistent compile cache makes reruns cheap.
-Usage: python benchmarks/n6k_bench.py [--chol-too] [--no-pallas]
+Usage: python benchmarks/n6k_bench.py [--chol-too] [--no-pallas] [--plain-f64]
 
 ``--no-pallas`` routes the mixed operator's f32 segment reductions through
 XLA sorted scatter instead of the Pallas kernel — the r2 sessions saw the
 n=6144 TR program compile for >45 min on the remote compiler with the
 Pallas path; the scatter variant is the fallback to get a first number.
+
+``--plain-f64`` drops the mixed-edge operator AND the f32 inner Hessian:
+the TR program then contains ONE plain f64 operator — the smallest
+program variant (observed: the two-float + dual-operator program at this
+size compiles for hours on the remote compiler without completing; the
+r2 Pallas variant did the same).  Slower per iteration, but tol 1e-1
+needs only tens of outers — the first hardware number beats no number.
 """
 
 import sys
@@ -60,14 +67,18 @@ def main():
                     / jnp.max(jnp.abs(Qc.VT_inv)))
         print(f"  ns-vs-chol rel err: {err:.2e}")
 
-    Q32 = cast_qop(Q, jnp.float32)
-    Qmix = Q.edge_f32(pallas=False if "--no-pallas" in sys.argv else None)
+    plain = "--plain-f64" in sys.argv
+    if plain:
+        Q32, Qmix = None, Q
+    else:
+        Q32 = cast_qop(Q, jnp.float32)
+        Qmix = Q.edge_f32(pallas=False if "--no-pallas" in sys.argv else None)
     R0 = mf.identity_frames(N, 3)
     s0 = jnp.ones((N,), jnp.float64)
     # chunk=5: at this size a 50-outer-iteration device program runs for
     # minutes and the remote TPU worker kills it (observed; CLAUDE rule 3) —
     # bound each program to a few outers and continue from the host
-    cfg = tr.TRConfig(chunk=5, inner_f32=True)
+    cfg = tr.TRConfig(chunk=5, inner_f32=not plain)
 
     def run():
         return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,

@@ -41,8 +41,15 @@ def main():
           flush=True)
     Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
 
+    import jax
+
+    # exact-f64 implicit stages run heavy tCG loops: on the remote TPU a
+    # 100-outer device program exceeds the worker's runtime limit (observed:
+    # crash in the rank-5 stage) — bound programs to ~10 outers there
+    chunk = 10 if jax.default_backend() != "cpu" else None
     t0 = time.perf_counter()
-    res = solve_arrays(Q, max_rank=6, tol=1e-6, lam=0.0, verbose=True)
+    res = solve_arrays(Q, max_rank=6, tol=1e-6, lam=0.0, verbose=True,
+                       chunk=chunk)
     wall = time.perf_counter() - t0
 
     print(f"\n{'rank':>4} {'stage_s':>8} {'cert_s':>8} {'outer':>6} "

@@ -315,9 +315,9 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
 def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
            precision: str = "f64", inner_f32: bool = False, Q32=None,
            checkpoint_path=None, ckpt_meta=None,
-           stop_on_collapse: bool = False):
+           stop_on_collapse: bool = False, chunk: Optional[int] = None):
     cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,
-                      chunk=tr.auto_chunk(R0.shape[0]),
+                      chunk=chunk or tr.auto_chunk(R0.shape[0]),
                       stop_on_collapse=stop_on_collapse)
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
@@ -347,7 +347,8 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  edge_f32: bool = False,
                  edge_pallas: Optional[bool] = None,
                  checkpoint_path: Optional[str] = None,
-                 resume_from: Optional[str] = None) -> SolveResult:
+                 resume_from: Optional[str] = None,
+                 chunk: Optional[int] = None) -> SolveResult:
     """In-memory staircase solve (the reference's file-based ``solve`` without
     the disk round trip; XM_main.cu:180-310).
 
@@ -367,6 +368,10 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
       checkpoint_path: save the staircase position after every rank stage.
       resume_from: restore a saved staircase position (fine-grained analog of
         the reference's solve_rebuttle warm start).
+      chunk: outer iterations per device program (None = trust_region.
+        auto_chunk(n)).  Remote TPU runtimes kill long programs; heavy
+        stages (exact-f64 implicit operators, high tCG counts) need
+        smaller chunks than the mixed-path default (platform rule 3/9).
     """
     from xmtpu.ops.qop import QOperator, as_qop, cast_qop
     from xmtpu.solver.checkpoint import (StaircaseCheckpoint, load_checkpoint,
@@ -392,6 +397,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             stage_q32 = cast_qop(Cq, jnp.float32)
     bound = _min_eig_bound(n)
     gradtol = float(tol)
+    chunk_n = chunk if chunk is not None else tr.auto_chunk(n)
 
     o = 3
     # host-side init arrays: they enter the device at the first jit call's
@@ -453,7 +459,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             dim = n * (3 * o - 6) + n - 1
             delta_bar = float(np.sqrt(dim))
             cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,
-                              chunk=tr.auto_chunk(n))
+                              chunk=chunk_n)
             res = tr.continue_chunks(
                 stage_q, st, mid_resume.lam, gradtol, delta_bar, cfg,
                 Q32=stage_q32 if inner_f32 else None,
@@ -474,7 +480,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                 precision, bound, prev_escape_v, inner_f32=inner_f32,
                 with_cert=not rank3_only, escape_dir=escape_dir,
                 linesearch_step=(1.0 if escape_dir is not None else 0.0),
-                chunk=tr.auto_chunk(n), checkpoint_path=mid_path,
+                chunk=chunk_n, checkpoint_path=mid_path,
                 ckpt_meta=meta)
             primal_v, reason_v, outer_v, inner_v = scal
         else:
@@ -486,7 +492,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                          escape_dir, verbose, precision, inner_f32,
                          Q32=stage_q32, checkpoint_path=mid_path,
                          ckpt_meta=meta,
-                         stop_on_collapse=stage_q is not Cq)
+                         stop_on_collapse=stage_q is not Cq, chunk=chunk_n)
             # one batched scalar fetch per stage
             primal_v, reason_v, outer_v, inner_v = (
                 np.asarray(x) for x in jax.device_get(

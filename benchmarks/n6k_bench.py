@@ -75,10 +75,16 @@ def main():
         Qmix = Q.edge_f32(pallas=False if "--no-pallas" in sys.argv else None)
     R0 = mf.identity_frames(N, 3)
     s0 = jnp.ones((N,), jnp.float64)
-    # chunk=5: at this size a 50-outer-iteration device program runs for
-    # minutes and the remote TPU worker kills it (observed; CLAUDE rule 3) —
-    # bound each program to a few outers and continue from the host
-    cfg = tr.TRConfig(chunk=5, inner_f32=not plain)
+    # Program-length sizing (CLAUDE rules 3/9): the remote worker kills
+    # long-running programs.  Mixed path: 5 outers/program.  Plain f64: one
+    # exact matvec is ~0.3 s at this size, so a single outer churning to
+    # max_inner=1000 already exceeds the worker budget (observed crash) —
+    # cap the tCG at 64 (inexact Newton; the f64 rho test guards the model)
+    # and bound programs to 2 outers.
+    if plain:
+        cfg = tr.TRConfig(chunk=2, max_inner=64)
+    else:
+        cfg = tr.TRConfig(chunk=5, inner_f32=True)
 
     def run():
         return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,

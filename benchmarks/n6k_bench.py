@@ -76,32 +76,53 @@ def main():
     R0 = mf.identity_frames(N, 3)
     s0 = jnp.ones((N,), jnp.float64)
     # Program-length sizing (CLAUDE rules 3/9): the remote worker kills
-    # long-running programs.  Mixed path: 5 outers/program.  Plain f64: one
-    # exact matvec is ~0.3 s at this size, so a single outer churning to
-    # max_inner=1000 already exceeds the worker budget (observed crash) —
-    # cap the tCG at 64 (inexact Newton; the f64 rho test guards the model)
-    # and bound programs to 2 outers.
+    # long-running programs.  Mixed path: 5 outers/program.  Plain f64 is
+    # driven ONE OUTER PER PROGRAM below (kmax is traced, so the stepping
+    # reuses the one cached executable; measured ~1.2-2.0 s/outer at ~5
+    # tCG inner per outer — a 5-outer chunk is already tens of seconds and
+    # a churny outer at max_inner=1000 alone would exceed the worker
+    # budget).  The cfg itself stays at the defaults so the program hash
+    # matches the round-3 cached compile (~30 min to rebuild otherwise).
+    cfg = tr.TRConfig(chunk=5, inner_f32=not plain)
+
     if plain:
-        cfg = tr.TRConfig(chunk=2, max_inner=64)
-    else:
-        cfg = tr.TRConfig(chunk=5, inner_f32=True)
-
-    def run():
-        return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,
-                                     Q32=Q32)
-
-    res = run()
-    jax.device_get(res.primal)           # compile + cold run
-    times = []
-    for _ in range(3):
+        lam = jnp.asarray(0.0, jnp.float64)
+        gradtol = jnp.asarray(1e-1, jnp.float64)
+        delta_bar = jnp.asarray(float(np.sqrt(N * 3 + N - 1)), jnp.float64)
+        st = tr._init_state(Q, R0, s0, lam, delta_bar, cfg)
+        jax.device_get(st.loss)          # compile wall lives here
         t0 = time.perf_counter()
+        k = 0
+        while k < 2000:
+            st = tr._run_chunk(Q, st, lam, gradtol, delta_bar, cfg,
+                               jnp.asarray(k + 1, jnp.int32))
+            k_, done = jax.device_get((st.k, st.done))
+            k = int(k_)
+            if bool(done):
+                break
+        t_solve = time.perf_counter() - t0
+        res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
+                          st.total_inner, st.done_reason)
+        print(f"TR solve (plain f64, tol 1e-1): {t_solve:6.2f} s  "
+              f"({int(res.outer_iters)} outer / {int(res.total_inner)} "
+              f"inner, primal {float(res.primal):.4e})")
+    else:
+        def run():
+            return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,
+                                         Q32=Q32)
+
         res = run()
-        jax.device_get(res.primal)
-        times.append(time.perf_counter() - t0)
-    t_solve = float(np.median(times))
-    print(f"TR solve (edge_f32, tol 1e-1): {t_solve:6.2f} s  "
-          f"({int(res.outer_iters)} outer / {int(res.total_inner)} inner, "
-          f"primal {float(res.primal):.4e})")
+        jax.device_get(res.primal)           # compile + cold run
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run()
+            jax.device_get(res.primal)
+            times.append(time.perf_counter() - t0)
+        t_solve = float(np.median(times))
+        print(f"TR solve (edge_f32, tol 1e-1): {t_solve:6.2f} s  "
+              f"({int(res.outer_iters)} outer / {int(res.total_inner)} "
+              f"inner, primal {float(res.primal):.4e})")
 
     sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
     cert = certify(Q, sR, 0.0, res.primal)       # compile

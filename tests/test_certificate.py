@@ -347,3 +347,45 @@ def test_probe_truncated_budget_not_accepted():
     pr = _implicit_psd_probe(Q, sR_bad, 0.0, shift, max_iters=4, chunk=4)
     assert not pr.accept
     assert not pr.converged or pr.refuted
+
+
+def test_probe_converged_under_min_explore_is_inconclusive():
+    """ADVICE r3 (certificate.py:597): a converged clean pass with fewer
+    than ``min_explore`` explored directions must NOT accept when a caller-
+    shrunk ``max_iters`` prevents the fresh-start exploration floor."""
+    from xmtpu.ops.schurq import SchurQ
+    from xmtpu.solver.certificate import _implicit_psd_probe
+
+    scene = make_scene(n_cameras=24, n_points=72, obs_per_camera=10,
+                       noise=0.0, seed=5)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    n = Q.n_cameras
+    sR = mf.flatten(mf.scale_blocks(
+        jnp.asarray(np.broadcast_to(np.eye(3), (n, 3, 3))),
+        jnp.asarray(scene.s_gt)))
+    # generous shift makes Z + shift I comfortably SPD -> CG converges fast
+    pr = _implicit_psd_probe(Q, sR, 0.0, jnp.asarray(10.0, jnp.float64),
+                             max_iters=4, chunk=4, min_explore=32)
+    if pr.converged and not pr.refuted:
+        assert not pr.accept  # under the evidence floor: inconclusive
+
+
+def test_cast_qop_clears_psd_claims():
+    """ADVICE r3 (qop.py:108 / schurq.py:278): sub-f64 casts must not carry
+    structural-PSD claims into the certificate's Delta-bound shortcut."""
+    from xmtpu.ops.qop import DenseQ, cast_qop
+    from xmtpu.ops.schurq import SchurQ
+
+    scene = make_scene(n_cameras=10, n_points=40, obs_per_camera=10,
+                       noise=0.0, seed=0)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    assert Q.psd_by_construction
+    assert getattr(Q, "vt_resid_ratio", None) is not None
+    Q32 = cast_qop(Q, jnp.float32)
+    assert not Q32.psd_by_construction
+    # f64->f64 cast keeps the claim
+    assert cast_qop(Q, jnp.float64).psd_by_construction
+
+    D = DenseQ(jnp.eye(6, dtype=jnp.float64), psd_hint=True)
+    assert not cast_qop(D, jnp.float32).psd_by_construction
+    assert cast_qop(D, jnp.float64).psd_by_construction

@@ -227,3 +227,76 @@ def test_auto_chunk_policy():
     assert auto_chunk(3000) == 25
     assert auto_chunk(6144) == 5
     assert auto_chunk(6144, default=3) == 3
+
+
+def test_history_buffer_records_reference_table(capsys):
+    """TRConfig.history carries a per-outer ring buffer with zero host syncs
+    (VERDICT r3 item 8; trustregion.h:487-526 table semantics): rows carry
+    the outer index, tCG count, accepted loss, gradnorm at iteration start
+    and the accept/reject flag; verbose=2 prints the table per chunk."""
+    scene = make_scene(n_cameras=8, n_points=40, obs_per_camera=20,
+                       noise=1e-2, seed=3)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    n = C.shape[0] // 3
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,), jnp.float64)
+    cfg = tr.TRConfig(history=32, chunk=8)
+    res = tr.trust_region_solve(C, R0, s0, lam=0.0, gradtol=1e-6, cfg=cfg,
+                                verbose=2)
+    out = capsys.readouterr().out
+    assert res.hist is not None
+    hist = np.asarray(res.hist)
+    k_end = int(res.outer_iters)
+    # every outer iteration in the live window has its row, in order
+    for k in range(max(0, k_end - 32), k_end):
+        row = hist[k % 32]
+        assert int(row[0]) == k
+        assert row[1] >= 1                      # tCG iterations
+        assert np.isfinite(row[2]) and np.isfinite(row[3])
+        assert int(row[6]) in (-1, 0, 1)        # BAD/REJ/TR+
+        assert int(row[7]) in (1, 2, 3, 5, 6)   # tCG end reason
+    # losses over ACCEPTED rows are non-increasing
+    acc_losses = [hist[k % 32][2] for k in range(max(0, k_end - 32), k_end)
+                  if int(hist[k % 32][6]) == 1]
+    assert all(b <= a + 1e-12 for a, b in zip(acc_losses, acc_losses[1:]))
+    # verbose=2 printed the reference-style table
+    assert "[tr] k=" in out and "TR+" in out
+    # identical solve without history matches bitwise (the buffer is
+    # observability only, never part of the math)
+    res0 = tr.trust_region_solve(C, R0, s0, lam=0.0, gradtol=1e-6,
+                                 cfg=tr.TRConfig(chunk=8))
+    assert res0.hist is None
+    np.testing.assert_array_equal(np.asarray(res.R), np.asarray(res0.R))
+
+
+def test_collapse_accept_coincidence_not_premature_stop():
+    """ADVICE r3 (trust_region.py:469): a collapse iteration whose own step
+    is accepted must neither fire the zero-accept early stop nor zero the
+    accept counter for the new cycle."""
+    # unit-level check of the gate algebra through a crafted carry:
+    # the early stop requires collapse & ~keep_new & prior-collapse &
+    # zero accepts.  Exercise _outer_step indirectly via the public config
+    # by asserting a solve with stop_on_collapse that ACCEPTS on its
+    # collapse iterations still reaches the same iterate as the ungated
+    # solve (the gate may only ever stop pure-rejection churn).
+    scene = make_scene(n_cameras=8, n_points=40, obs_per_camera=20,
+                       noise=5e-2, seed=11)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    n = C.shape[0] // 3
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,), jnp.float32)
+    C32 = jnp.asarray(C, jnp.float32)
+    cfg = tr.TRConfig.for_dtype(jnp.float32, stop_on_collapse=True,
+                                max_inner=100)
+    res = tr.trust_region_solve(C32, jnp.asarray(R0, jnp.float32), s0,
+                                lam=0.0, gradtol=1e-5, cfg=cfg,
+                                dtype=jnp.float32)
+    # the stage must not end while accepted steps were still being produced:
+    # rerunning WITHOUT the gate from the stop point must not find
+    # meaningfully lower loss within a couple of outers (i.e. the stop fired
+    # at the noise floor, not mid-progress)
+    cfg2 = tr.TRConfig.for_dtype(jnp.float32, max_outer=3, max_inner=100)
+    res2 = tr.trust_region_solve(C32, res.R, res.s_ex, lam=0.0,
+                                 gradtol=1e-5, cfg=cfg2, dtype=jnp.float32)
+    assert float(res2.primal) >= float(res.primal) - 1e-3 * abs(
+        float(res.primal)) - 1e-5

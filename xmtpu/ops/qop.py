@@ -109,11 +109,23 @@ def cast_qop(Q, dtype):
     """Cast an operator's floating-point leaves (ids/index leaves untouched).
 
     Used by the mixed-precision ladder to derive the f32 operator from the
-    f64 one.
+    f64 one.  Casting below f64 CLEARS any structural-PSD claim the source
+    operator carried (``DenseQ.psd_hint`` / ``SchurQ.psd_ok``): the cast's
+    ~1e-7 relative rounding exceeds the certificate's acceptance bound, so a
+    low-precision operator must never feed the Delta-bound shortcut
+    (ADVICE r3).
     """
+    import dataclasses
+
     import jax
 
     Q = as_qop(Q)
-    return jax.tree_util.tree_map(
+    Qc = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         Q)
+    if dtype != jnp.float64:
+        if isinstance(Qc, DenseQ) and Qc.psd_hint:
+            Qc = dataclasses.replace(Qc, psd_hint=False)
+        elif getattr(Qc, "psd_ok", False):
+            Qc = dataclasses.replace(Qc, psd_ok=False)
+    return Qc

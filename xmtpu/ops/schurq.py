@@ -112,16 +112,21 @@ class SchurQ(QOperator):
     inv_q3: jax.Array
     inv_sqrt_q3: jax.Array
     VT_inv: jax.Array
+    # static (pytree aux): structural-PSD claim.  True for exact-f64 builds
+    # (chol, or ns within the verified residual floor); cleared when the
+    # VT_inv build residual would invalidate the certificate's Delta-bound
+    # acceptance (ADVICE r3) and by sub-f64 casts (qop.cast_qop).
+    psd_ok: bool = True
 
     def tree_flatten(self):
         return ((self.Q1, self.V1, self.f_l, self.l_l, self.wx_l, self.cf_l,
                  self.f_f, self.l_f, self.wx_f, self.cf_f, self.bounds_l,
                  self.bounds_f, self.inv_q3, self.inv_sqrt_q3, self.VT_inv),
-                None)
+                (self.psd_ok,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *(aux or (True,)))
 
     @staticmethod
     def build(weights, edges, landmarks,
@@ -192,12 +197,22 @@ class SchurQ(QOperator):
         # measured stall ratios: ~4 at cond 1e3, ~2e3 at cond 1e6 —
         # fall back to the exact factorization beyond cond ~1e6, where the
         # Newton-Schulz inverse's worst-direction apply error passes 1e-6
-        if vt_build == "ns" and float(jax.device_get(vt_resid)) > 2e3:
-            # Newton-Schulz stalled (cond(VT) beyond the f32 seed's reach):
-            # rebuild through the exact f64 factorization
-            q, _ = _build_schurq(*args, N, M, vt_gram=vt_gram,
-                                 use_gram=vt_gram is not None,
-                                 vt_build="chol")
+        resid_ratio = 0.0
+        if vt_build == "ns":
+            # record the Newton-Schulz inverse residual (floor-multiples;
+            # ADVICE r3: the Delta-bound acceptance leans on this staying
+            # orders below the 1e-4..1e-3 certificate bound)
+            resid_ratio = float(jax.device_get(vt_resid))
+            if resid_ratio > 2e3:
+                # NS stalled (cond(VT) beyond the f32 seed's reach; worst-
+                # direction apply error would pass ~1e-6): rebuild through
+                # the exact f64 factorization
+                q, _ = _build_schurq(*args, N, M, vt_gram=vt_gram,
+                                     use_gram=vt_gram is not None,
+                                     vt_build="chol")
+                resid_ratio = 0.0
+        # build-time observability (host attribute, not part of the pytree)
+        q.vt_resid_ratio = resid_ratio
         return q
 
     @property
@@ -282,8 +297,11 @@ class SchurQ(QOperator):
         quadratic form is PSD, so ``lam_min >= 0`` holds algebraically — up
         to this build's own rounding (f64 assembly + the ``VT_inv``
         Newton-Schulz/Cholesky residual, ~1e-10 relative; orders below the
-        certificate's 1e-4..1e-3 acceptance bound)."""
-        return True
+        certificate's 1e-4..1e-3 acceptance bound).  ``psd_ok`` (static aux)
+        gates the claim: build() clears it if the verified NS residual ever
+        exceeded the floor guard, and ``cast_qop`` clears it on sub-f64
+        casts (ADVICE r3)."""
+        return self.psd_ok
 
     def recover_y(self, sR: jax.Array) -> jax.Array:
         """Optimal translations/landmarks for a solved factor: the (N+M-1, o)

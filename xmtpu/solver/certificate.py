@@ -594,8 +594,14 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
         if not converged:
             # budget exhausted without a decision: inconclusive
             return ProbeResult(False, False, False, total, carry.wdir)
-        if total >= min_explore or total >= max_iters:
+        if total >= min_explore:
             return ProbeResult(True, False, True, total, carry.wdir)
+        if total >= max_iters:
+            # converged but a caller-shrunk budget left fewer than
+            # min_explore explored directions: the acceptance evidence floor
+            # is not met — inconclusive, never accept (ADVICE r3; with the
+            # default max_iters >= 512 this branch is unreachable)
+            return ProbeResult(False, False, True, total, carry.wdir)
         probe_idx += 1  # converged early: explore more from a fresh start
 
 

@@ -70,7 +70,9 @@ _TR_FIELDS = ("R", "s_ex", "loss", "delta", "shrink_count", "endreason",
               # on the one-matvec-per-outer path and the same compiled
               # program structure; the collapse counters keep the
               # stop_on_collapse churn gate's history across a resume
-              "QsR", "collapse_count", "accepts_since_collapse")
+              "QsR", "collapse_count", "accepts_since_collapse",
+              # per-outer history ring buffer (None unless TRConfig.history)
+              "hist")
 
 
 def save_tr_checkpoint(path: str, state, k_done: int, rank: int,

@@ -204,7 +204,8 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
     n, _, o = R0.shape
     dim = n * (3 * o - 6) + n - 1
     delta_bar = float(np.sqrt(dim))
-    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32, chunk=chunk)
+    cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32, chunk=chunk,
+                      history=chunk if int(verbose) >= 2 else 0)
     if precision == "mixed":
         cfg32, gradtol32 = cfg.f32_ladder(gradtol)
         kmax32 = cfg32.chunk
@@ -259,7 +260,8 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
         s1 = res32.s_ex.astype(jnp.float64).at[0].set(1.0)
         res = tr.trust_region_solve(Cq, R1, s1, lam, gradtol, cfg=cfg,
                                     checkpoint_path=checkpoint_path,
-                                    ckpt_meta=ckpt_meta)
+                                    ckpt_meta=ckpt_meta,
+                                    verbose=int(verbose))
         vals2 = jax.device_get((res.primal, res.done_reason,
                                 res.outer_iters, res.total_inner,
                                 res32.outer_iters, res32.total_inner))
@@ -275,11 +277,13 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
         # f64 stage outran the fused chunk: continue the chunked loop and
         # let the caller certify separately; ONE batched scalar fetch
         # (CLAUDE.md rule 5 — each blocking fetch costs ~20-40 ms here)
+        if int(verbose) >= 2 and st.hist is not None:
+            tr.print_history(jax.device_get(st.hist), 0, int(k_v))
         res = tr.continue_chunks(Cq, st, lam, gradtol, delta_bar, cfg,
                                  Q32=C32q if inner_f32 else None,
                                  k_done=int(k_v), deadline=deadline,
                                  checkpoint_path=checkpoint_path,
-                                 ckpt_meta=ckpt_meta)
+                                 ckpt_meta=ckpt_meta, verbose=int(verbose))
         primal_v, reason_c, outer_c, inner_c = (
             jax.device_get((res.primal, res.done_reason, res.outer_iters,
                             res.total_inner)))
@@ -293,6 +297,8 @@ def _stage_fused(Cq, C32q, R0, s_ex0, lam, gradtol, max_time, verbose,
 
     res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
                       st.total_inner, st.done_reason)
+    if int(verbose) >= 2 and st.hist is not None:
+        tr.print_history(jax.device_get(st.hist), 0, int(k_v))
     if verbose:
         print(f"[xm] rank {o}: primal={float(loss_v):.6e} "
               f"gradnorm={float(gn_v):.3e} outer={int(k_v) + k32} "
@@ -316,16 +322,18 @@ def _stage(C, R0, s_ex0, lam, gradtol, max_time, escape_dir, verbose,
            precision: str = "f64", inner_f32: bool = False, Q32=None,
            checkpoint_path=None, ckpt_meta=None,
            stop_on_collapse: bool = False, chunk: Optional[int] = None):
+    chunk_eff = chunk or tr.auto_chunk(R0.shape[0])
     cfg = tr.TRConfig(max_time=max_time, inner_f32=inner_f32,
-                      chunk=chunk or tr.auto_chunk(R0.shape[0]),
-                      stop_on_collapse=stop_on_collapse)
+                      chunk=chunk_eff,
+                      stop_on_collapse=stop_on_collapse,
+                      history=chunk_eff if int(verbose) >= 2 else 0)
     solver = (tr.trust_region_solve_mixed if precision == "mixed"
               else tr.trust_region_solve)
-    kw = {}
+    kw = {"verbose": int(verbose)}
     if precision != "mixed":
         # mid-stage checkpoints cover the f64 solve path; the mixed ladder's
         # f32 phase is short (stop_on_collapse) and restarts cheaply
-        kw = dict(checkpoint_path=checkpoint_path, ckpt_meta=ckpt_meta)
+        kw.update(checkpoint_path=checkpoint_path, ckpt_meta=ckpt_meta)
     if escape_dir is None:
         res = solver(C, R0, s_ex0, lam, gradtol, cfg=cfg, Q32=Q32, **kw)
     else:

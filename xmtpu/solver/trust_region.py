@@ -101,6 +101,14 @@ class TRConfig:
     # in the model; appropriate at loose tolerances (>= ~1e-3) where f64
     # emulation dominates the implicit operator's matvec. Off by default.
     inner_f32: bool = False
+    # Per-outer-iteration history: carry a (history, 8) ring buffer of
+    # [k, tCG iters, loss, gradnorm, rho, delta, accepted, endreason] in the
+    # loop state and dump it post-hoc — restores the reference's live solver
+    # table (trustregion.h:487-526) with ZERO host syncs inside the loop
+    # (VERDICT r3 item 8).  0 disables (no state-shape change: hist stays
+    # None, compiled-program caches unaffected).  Size it >= chunk so a
+    # chunk's rows survive until the between-chunk print.
+    history: int = 0
 
     @staticmethod
     def for_dtype(dtype, **kwargs) -> "TRConfig":
@@ -176,6 +184,9 @@ class TRState(NamedTuple):
     # stages far from stationarity).
     collapse_count: "jax.Array | None" = None
     accepts_since_collapse: "jax.Array | None" = None
+    # (cfg.history, 8) per-outer-iteration ring buffer (None when disabled);
+    # see TRConfig.history
+    hist: "jax.Array | None" = None
 
 
 class TRResult(NamedTuple):
@@ -186,6 +197,30 @@ class TRResult(NamedTuple):
     outer_iters: jax.Array
     total_inner: jax.Array
     done_reason: jax.Array
+    hist: "jax.Array | None" = None
+
+
+_ER_NAMES = {ER_NEGCURV: "negcurv", ER_BOUNDARY: "boundary",
+             ER_SUPERLINEAR: "superlin", ER_SMALL_RDOTR: "rdotr~0",
+             ER_MAX_INNER: "maxinner"}
+
+
+def print_history(hist, k_lo: int, k_hi: int) -> None:
+    """Reference-style per-outer-iteration table (trustregion.h:487-526),
+    reconstructed post-hoc from the carried ring buffer — the loop itself
+    never syncs to the host.  Prints rows ``k_lo <= k < k_hi`` (older rows
+    may have been overwritten when the range exceeds the buffer)."""
+    hist = np.asarray(hist)
+    H = hist.shape[0]
+    for k in range(max(int(k_lo), int(k_hi) - H), int(k_hi)):
+        r = hist[k % H]
+        if int(r[0]) != k:
+            continue  # row never written (e.g. gradtol stop before work)
+        status = {1: "TR+", 0: "REJ", -1: "BAD"}.get(int(r[6]), "?")
+        er = _ER_NAMES.get(int(r[7]), str(int(r[7])))
+        print(f"[tr] k={k:4d} i={int(r[1]):4d} loss={r[2]: .9e} "
+              f"|g|={r[3]:.3e} rho={r[4]: .2e} delta={r[5]:.2e} "
+              f"{status} {er}")
 
 
 def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
@@ -385,7 +420,7 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         return TRState(st.R, st.s_ex, st.loss, st.delta, st.shrink_count,
                        st.endreason, st.k, st.total_inner, gradnorm,
                        jnp.asarray(True), done_reason_now, st.QsR,
-                       st.collapse_count, st.accepts_since_collapse)
+                       st.collapse_count, st.accepts_since_collapse, st.hist)
 
     def work(_):
         # CsR = 2 Q sR reused from the gradient GEMM (mf.egrad_csr) — the
@@ -432,19 +467,21 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         # bypass the rejection test below: the radius is still full-size
         # here, so a kept bad step would be materially worse than the last
         # accepted iterate.
-        if cfg.stop_on_collapse:
-            early_stop = (collapse & (st.collapse_count > 0)
-                          & (st.accepts_since_collapse == 0))
-            collapse_count = st.collapse_count + collapse.astype(jnp.int32)
-        else:
-            early_stop = jnp.asarray(False)
-            collapse_count = st.collapse_count
-
         # rejection keeps the previous iterate (trustregion.h:702-708); the
         # delta-collapse break in the reference skips the rejection check, so
         # a dead radius keeps the new step.
         reject = ((loss_new > st.loss) | (rho < 0.1)) & (~delta_dead)
         keep_new = (~bad_model) & (~reject)
+        if cfg.stop_on_collapse:
+            # ~keep_new: a cycle whose only accept coincides with the
+            # closing collapse is NOT the zero-accept churn signature —
+            # the step moved, so the stage stays alive (ADVICE r3)
+            early_stop = (collapse & (~keep_new) & (st.collapse_count > 0)
+                          & (st.accepts_since_collapse == 0))
+            collapse_count = st.collapse_count + collapse.astype(jnp.int32)
+        else:
+            early_stop = jnp.asarray(False)
+            collapse_count = st.collapse_count
         R_out = jnp.where(keep_new, R_new, st.R)
         s_ex_out = jnp.where(keep_new, s_ex_new, st.s_ex)
         loss_out = jnp.where(keep_new & (~bad_model), loss_new, st.loss)
@@ -464,8 +501,13 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         delta_out = jnp.where(bad_model, st.delta, delta)
         shrink_out = jnp.where(bad_model, st.shrink_count, shrink_count)
         if cfg.stop_on_collapse:
+            # a collapse iteration whose own step is accepted (keep_new and
+            # collapse co-occur for rho in [0.1, 0.25)) must count that
+            # accept toward the NEW cycle — resetting to zero would misread
+            # a cycle whose only accept closes it as zero-accept and fire
+            # the early stop one cycle early (ADVICE r3)
             accepts_out = jnp.where(
-                collapse, 0,
+                collapse, keep_new.astype(jnp.int32),
                 st.accepts_since_collapse + keep_new.astype(jnp.int32))
             cc_out = jnp.where(bad_model, st.collapse_count, collapse_count)
             accepts_out = jnp.where(bad_model, st.accepts_since_collapse,
@@ -473,9 +515,20 @@ def _outer_step(qmul, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
         else:
             cc_out = st.collapse_count
             accepts_out = st.accepts_since_collapse
+        if cfg.history:
+            dt = R_out.dtype
+            acc = jnp.where(bad_model, jnp.asarray(-1, jnp.int32),
+                            keep_new.astype(jnp.int32))
+            row = jnp.stack([
+                st.k.astype(dt), iters.astype(dt), loss_out.astype(dt),
+                gradnorm.astype(dt), rho.astype(dt), st.delta.astype(dt),
+                acc.astype(dt), endreason.astype(dt)])
+            hist_out = st.hist.at[jnp.mod(st.k, cfg.history)].set(row)
+        else:
+            hist_out = st.hist
         return TRState(R_out, s_ex_out, loss_out, delta_out, shrink_out,
                        endreason, st.k + 1, total_inner, gradnorm, done,
-                       done_reason, QsR_out, cc_out, accepts_out)
+                       done_reason, QsR_out, cc_out, accepts_out, hist_out)
 
     return jax.lax.cond(stop_now, stopped, work, None)
 
@@ -529,6 +582,9 @@ def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
         done_reason=jnp.asarray(RUNNING, jnp.int32),
         collapse_count=jnp.zeros((), jnp.int32),
         accepts_since_collapse=jnp.zeros((), jnp.int32),
+        # -1 in the k column marks never-written rows for print_history
+        hist=(jnp.full((cfg.history, 8), -1.0, R0.dtype)
+              if cfg.history else None),
     )
 
 
@@ -576,7 +632,8 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                        escape_dir=None, linesearch_step=0.0,
                        cfg: TRConfig = TRConfig(), dtype=None,
                        Q32=None, checkpoint_path: "str | None" = None,
-                       ckpt_meta: "dict | None" = None) -> TRResult:
+                       ckpt_meta: "dict | None" = None,
+                       verbose: int = 0) -> TRResult:
     """Solve ``min <sR, Q sR> + lam sum((s^2-1)^2)`` over the product manifold.
 
     Drop-in semantic equivalent of ``XMtrustregion`` (trustregion.h:77).
@@ -635,14 +692,15 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
     return continue_chunks(Q, st, lam, gradtol, delta_bar_j, cfg,
                            Q32=Q32_inner, k_done=0, deadline=deadline,
                            checkpoint_path=checkpoint_path,
-                           ckpt_meta=ckpt_meta)
+                           ckpt_meta=ckpt_meta, verbose=verbose)
 
 
 def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
                     cfg: TRConfig, Q32=None, k_done: int = 0,
                     deadline: float = float("inf"),
                     checkpoint_path: "str | None" = None,
-                    ckpt_meta: "dict | None" = None) -> TRResult:
+                    ckpt_meta: "dict | None" = None,
+                    verbose: int = 0) -> TRResult:
     """Drive the chunked outer loop from an existing ``TRState`` until done,
     ``max_outer``, or the wall-clock deadline.
 
@@ -663,8 +721,13 @@ def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
     done = False
     while (not done) and k_done < cfg.max_outer:
         kmax = min(k_done + cfg.chunk, cfg.max_outer)
+        k_prev = k_done
         st = _run_chunk(Q, st, lam, gradtol, delta_bar_j, cfg, kmax, Q32)
         k_done, done = jax.device_get((st.k, st.done))
+        if verbose >= 2 and st.hist is not None and k_done > k_prev:
+            # post-hoc per-iteration table for the chunk just finished
+            # (one extra array fetch per chunk; the loop itself never syncs)
+            print_history(jax.device_get(st.hist), int(k_prev), int(k_done))
         if checkpoint_path is not None and not bool(done):
             from xmtpu.solver.checkpoint import save_tr_checkpoint
 
@@ -683,12 +746,13 @@ def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
         done_reason = jnp.asarray(DONE_MAX_OUTER, jnp.int32)
 
     return TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
-                    st.total_inner, done_reason)
+                    st.total_inner, done_reason, st.hist)
 
 
 def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                              escape_dir=None, linesearch_step=0.0,
-                             cfg: TRConfig = TRConfig(), Q32=None) -> TRResult:
+                             cfg: TRConfig = TRConfig(), Q32=None,
+                             verbose: int = 0) -> TRResult:
     """Two-phase precision ladder: f32 bulk, f64 polish.
 
     TPU f64 matmul is software-emulated (~40x slower than f32 on v5e), while
@@ -721,13 +785,15 @@ def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
         Q32 = cast_qop(Q, jnp.float32)
     res32 = trust_region_solve(Q32, R0.astype(jnp.float32),
                                s_ex0.astype(jnp.float32), lam,
-                               gradtol32, cfg=cfg32, dtype=jnp.float32)
+                               gradtol32, cfg=cfg32, dtype=jnp.float32,
+                               verbose=verbose)
 
     # f64 polish from the f32 iterate (re-orthonormalize in f64 first)
     R1 = mf.mgs_rows(res32.R.astype(jnp.float64))
     s1 = res32.s_ex.astype(jnp.float64).at[0].set(1.0)
-    res64 = trust_region_solve(Q, R1, s1, lam, gradtol, cfg=cfg, Q32=Q32)
+    res64 = trust_region_solve(Q, R1, s1, lam, gradtol, cfg=cfg, Q32=Q32,
+                               verbose=verbose)
     return TRResult(res64.R, res64.s_ex, res64.primal, res64.gradnorm,
                     res32.outer_iters + res64.outer_iters,
                     res32.total_inner + res64.total_inner,
-                    res64.done_reason)
+                    res64.done_reason, res64.hist)

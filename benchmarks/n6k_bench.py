@@ -1,32 +1,38 @@
 """Single-chip n=6144 implicit certified solve — the beyond-dense-memory
-operating point (VERDICT r1 item 1 deliverable; dense C at this size is
-6144*3 squared f64 = 2.7 GB + assembly transients, past the 4 GB
+operating point (VERDICT r1 item 1 / r3 item 1 deliverable; dense C at this
+size is 6144*3 squared f64 = 2.7 GB + assembly transients, past the 4 GB
 choose_implicit budget).
 
-Measures on the real TPU:
-  * SchurQ build wall (the mixed-precision 'ns' VT_inv ladder vs the
-    emulated-f64 'chol' route that was the round-1 build wall);
-  * rank-3 TR solve on the two-float mixed-edge operator (tol 1e-1, the
-    reference's BAL operating point), block-Jacobi + inner_f32;
-  * the matvec-only certificate (deflated bound + CG shift probe) on the
-    exact f64 operator.
+The campaign runs as resumable PHASES with on-disk checkpoints
+(``assets_work/n6k/``) because every phase is long on the remote platform
+(fresh compiles are 10-40+ minutes, the worker kills long programs, and a
+killed client does not cancel its server-side compile — CLAUDE rules 7/9):
 
-Shapes are fixed so the persistent compile cache makes reruns cheap.
-Usage: python benchmarks/n6k_bench.py [--chol-too] [--no-pallas] [--plain-f64]
+  build   SchurQ factored-operator build (mixed-precision 'ns' VT_inv ladder)
+  f32     rank-3 TR solve on the PLAIN f32 cast operator — its own small
+          all-hardware-f32 HLO (compiles fast, runs ~40x the f64 rate);
+          stops at the f32 rho-noise floor (stop_on_collapse) or tol 1e-1
+  polish  plain-f64 TR from the f32 iterate, stepped a few outers per
+          device program (traced kmax -> one cached executable), to tol
+  cert    matvec-only certificate on the exact f64 operator (deflated
+          bound + preconditioned CG shift probe, chunked)
 
-``--no-pallas`` routes the mixed operator's f32 segment reductions through
-XLA sorted scatter instead of the Pallas kernel — the r2 sessions saw the
-n=6144 TR program compile for >45 min on the remote compiler with the
-Pallas path; the scatter variant is the fallback to get a first number.
+This two-program split is the VERDICT r3 fallback for the mixed-edge
+(two-float + dual-operator) TR program, which the remote compiler never
+finished at this size (>2 h twice): two SMALL single-operator HLOs instead
+of one huge dual-operator one.  The scene uses ``long_range=4`` — the pure
+window ring is an adversarial cycle-Laplacian topology (lam_min ~ 1/N^2)
+no real photo-collection graph has; see docs/PERFORMANCE.md round-3 root
+cause.
 
-``--plain-f64`` drops the mixed-edge operator AND the f32 inner Hessian:
-the TR program then contains ONE plain f64 operator — the smallest
-program variant (observed: the two-float + dual-operator program at this
-size compiles for hours on the remote compiler without completing; the
-r2 Pallas variant did the same).  Slower per iteration, but tol 1e-1
-needs only tens of outers — the first hardware number beats no number.
+Usage: python benchmarks/n6k_bench.py [--phase build|f32|polish|cert|all]
+           [--tol T] [--ring] [--chol-too] [--fresh]
+Legacy single-shot modes from rounds 2-3 (ring scene, no checkpoints):
+           --plain-f64 | --mixed [--no-pallas]
 """
 
+import argparse
+import os
 import sys
 import time
 
@@ -41,56 +47,197 @@ from xmtpu.ops.schurq import SchurQ                      # noqa: E402
 from xmtpu.ops.qop import cast_qop                       # noqa: E402
 from xmtpu.pipeline.synthetic import make_scene_window   # noqa: E402
 from xmtpu.solver import trust_region as tr              # noqa: E402
+from xmtpu.solver import checkpoint as ckpt              # noqa: E402
 from xmtpu.solver.certificate import certify             # noqa: E402
 
-N, M, K = 6144, 24576, 40
+# env overrides let the campaign smoke-test at toy size on CPU before the
+# real-shape TPU run pins the compile cache
+N = int(os.environ.get("N6K_N", 6144))
+M = int(os.environ.get("N6K_M", 24576))
+K = int(os.environ.get("N6K_K", 40))
+STATE = os.environ.get("N6K_STATE", "assets_work/n6k")
 
 
-def main():
-    print(f"backend={jax.default_backend()}  n={N} m={M} obs/cam={K}")
-    scene = make_scene_window(N, M, obs_per_camera=K, noise=1e-3, seed=0)
+def log(msg):
+    print(f"[n6k +{time.perf_counter() - T0:8.1f}s] {msg}", flush=True)
 
+
+T0 = time.perf_counter()
+
+
+def build_q(long_range):
+    scene = make_scene_window(N, M, obs_per_camera=K, noise=1e-3, seed=0,
+                              long_range=long_range)
     t0 = time.perf_counter()
     Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
                      vt_build="ns")
     jax.device_get(Q.VT_inv[0, 0])
-    t_ns = time.perf_counter() - t0
-    print(f"build (ns ladder):   {t_ns:8.2f} s")
+    log(f"build (ns ladder): {time.perf_counter() - t0:8.2f} s  "
+        f"(E={scene.edges.shape[0]})")
+    return Q
 
-    if "--chol-too" in sys.argv:
+
+def stepped_f64(Q, R0, s0, gradtol, ck_path, step=1, max_inner=64,
+                max_outer=3000, history=32):
+    """Plain-f64 TR, ``step`` outer iterations per device program.
+
+    ``kmax`` and ``gradtol`` are traced, so every program replay (including
+    a later rerun at a tighter tolerance) reuses ONE cached executable; the
+    full TRState checkpoints to ``ck_path`` after every program so a worker
+    kill or session cutoff resumes mid-stage.
+    """
+    cfg = tr.TRConfig(max_inner=max_inner, history=history)
+    lam = jnp.asarray(0.0, jnp.float64)
+    gradtol_j = jnp.asarray(gradtol, jnp.float64)
+    dim = N * (3 * 3 - 6) + N - 1
+    delta_bar = jnp.asarray(float(np.sqrt(dim)), jnp.float64)
+
+    if os.path.exists(ck_path):
+        ck = ckpt.load_checkpoint(ck_path)
+        st = ckpt.tr_state_from_checkpoint(ck, Q=Q)
+        k = ck.k_done
+        log(f"polish: resumed checkpoint at outer k={k}")
+    else:
+        st = tr._init_state(Q, R0, s0, lam, delta_bar, cfg)
+        jax.device_get(st.loss)
+        k = 0
+    log("polish: state ready (compile wall lives in the first program)")
+    t0 = time.perf_counter()
+    while k < max_outer:
+        st = tr._run_chunk(Q, st, lam, gradtol_j, delta_bar, cfg,
+                           jnp.asarray(k + step, jnp.int32))
+        k_, done, gn, loss, ti = jax.device_get(
+            (st.k, st.done, st.gradnorm, st.loss, st.total_inner))
+        k = int(k_)
+        ckpt.save_tr_checkpoint(ck_path, st, k, rank=3, gradtol=float(gradtol),
+                                lam=0.0)
+        log(f"polish: k={k} inner={int(ti)} loss={float(loss):.6e} "
+            f"|g|={float(gn):.3e}")
+        if bool(done):
+            break
+    t_polish = time.perf_counter() - t0
+    res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
+                      st.total_inner, st.done_reason)
+    log(f"polish done: {t_polish:.2f} s  ({int(res.outer_iters)} outer / "
+        f"{int(res.total_inner)} inner, primal {float(res.primal):.6e}, "
+        f"|g|={float(res.gradnorm):.3e})")
+    return res, t_polish
+
+
+def campaign(args):
+    os.makedirs(STATE, exist_ok=True)
+    tag = "ring" if args.ring else "lr4"
+    long_range = 0 if args.ring else 4
+    f32_npz = f"{STATE}/{tag}_f32_done.npz"
+    f32_ck = f"{STATE}/{tag}_f32_mid.npz"
+    pol_ck = f"{STATE}/{tag}_polish_mid.npz"
+    if args.fresh:
+        for p in (f32_npz, f32_ck, pol_ck):
+            if os.path.exists(p):
+                os.remove(p)
+
+    phases = (("build", "f32", "polish", "cert") if args.phase == "all"
+              else (args.phase,))
+    log(f"backend={jax.default_backend()}  n={N} m={M} obs/cam={K} "
+        f"long_range={long_range}  phases={phases}")
+    Q = build_q(long_range)
+    if "build" == phases[0] and len(phases) == 1:
+        return
+
+    # ---- f32 phase: small all-hardware HLO, compiles + runs fast ----------
+    res32 = None
+    if "f32" in phases and not os.path.exists(f32_npz):
+        Q32 = cast_qop(Q, jnp.float32)
+        cfg64 = tr.TRConfig(chunk=10)
+        cfg32, gradtol32 = cfg64.f32_ladder(args.tol)
+        R0 = mf.identity_frames(N, 3).astype(jnp.float32)
+        s0 = jnp.ones((N,), jnp.float32)
         t0 = time.perf_counter()
-        Qc = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
-                          vt_build="chol")
-        jax.device_get(Qc.VT_inv[0, 0])
-        print(f"build (f64 chol):    {time.perf_counter() - t0:8.2f} s")
-        err = float(jnp.max(jnp.abs(Q.VT_inv - Qc.VT_inv))
-                    / jnp.max(jnp.abs(Qc.VT_inv)))
-        print(f"  ns-vs-chol rel err: {err:.2e}")
+        if os.path.exists(f32_ck):
+            ck = ckpt.load_checkpoint(f32_ck)
+            st = ckpt.tr_state_from_checkpoint(ck, Q=Q32)
+            log(f"f32: resumed checkpoint at outer k={ck.k_done}")
+            res32 = tr.continue_chunks(
+                Q32, st, 0.0, gradtol32,
+                float(np.sqrt(N * 3 + N - 1)), cfg32, k_done=ck.k_done,
+                checkpoint_path=f32_ck,
+                ckpt_meta=dict(rank=3, gradtol=gradtol32, lam=0.0))
+        else:
+            res32 = tr.trust_region_solve(
+                Q32, R0, s0, 0.0, gradtol32, cfg=cfg32, dtype=jnp.float32,
+                checkpoint_path=f32_ck,
+                ckpt_meta=dict(rank=3, gradtol=gradtol32, lam=0.0))
+        t32 = time.perf_counter() - t0
+        R1 = np.asarray(jax.device_get(res32.R), np.float64)
+        s1 = np.asarray(jax.device_get(res32.s_ex), np.float64)
+        np.savez(f32_npz, R=R1, s_ex=s1, t32=t32,
+                 outer=int(res32.outer_iters), inner=int(res32.total_inner))
+        log(f"f32 phase: {t32:.2f} s  ({int(res32.outer_iters)} outer / "
+            f"{int(res32.total_inner)} inner, primal "
+            f"{float(res32.primal):.6e}, |g|={float(res32.gradnorm):.3e}, "
+            f"reason={int(res32.done_reason)})")
 
-    plain = "--plain-f64" in sys.argv
+    # ---- f64 polish: plain single-operator program, stepped ---------------
+    res = None
+    t_polish = 0.0
+    if "polish" in phases or "cert" in phases:
+        if os.path.exists(f32_npz):
+            z = np.load(f32_npz)
+            R1 = jnp.asarray(z["R"], jnp.float64)
+            s1 = jnp.asarray(z["s_ex"], jnp.float64).at[0].set(1.0)
+            R1 = mf.mgs_rows(R1)
+            log(f"polish: warm start from f32 iterate "
+                f"(f32 wall was {float(z['t32']):.1f} s)")
+        else:
+            R1 = mf.identity_frames(N, 3)
+            s1 = jnp.ones((N,), jnp.float64)
+            log("polish: COLD start (no f32 iterate found)")
+        res, t_polish = stepped_f64(Q, R1, s1, args.tol, pol_ck,
+                                    step=args.step)
+
+    # ---- certificate on the exact f64 operator ----------------------------
+    if "cert" in phases:
+        sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+        t0 = time.perf_counter()
+        cert = certify(Q, sR, 0.0, res.primal, verbose=True)
+        ok = bool(jax.device_get(cert.certified))
+        t_cert = time.perf_counter() - t0
+        log(f"certificate: {t_cert:.2f} s  certified={ok} "
+            f"lam_min={float(cert.lam_min):.3e} gap={float(cert.gap):.3e}")
+        summary = dict(
+            n=N, m=M, obs=K, long_range=long_range,
+            polish_s=round(t_polish, 2), cert_s=round(t_cert, 2),
+            certified=ok, primal=float(res.primal),
+            gradnorm=float(res.gradnorm), tol=args.tol,
+            outer=int(res.outer_iters), inner=int(res.total_inner))
+        import json
+        log("SUMMARY " + json.dumps(summary))
+
+
+def legacy(argv):
+    """Rounds 2-3 single-shot modes on the ring scene (kept for the cached
+    round-3 program shapes; see git history for measurements)."""
+    plain = "--plain-f64" in argv
+    scene = make_scene_window(N, M, obs_per_camera=K, noise=1e-3, seed=0)
+    t0 = time.perf_counter()
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                     vt_build="ns")
+    jax.device_get(Q.VT_inv[0, 0])
+    print(f"build (ns ladder):   {time.perf_counter() - t0:8.2f} s")
     if plain:
         Q32, Qmix = None, Q
     else:
         Q32 = cast_qop(Q, jnp.float32)
-        Qmix = Q.edge_f32(pallas=False if "--no-pallas" in sys.argv else None)
+        Qmix = Q.edge_f32(pallas=False if "--no-pallas" in argv else None)
     R0 = mf.identity_frames(N, 3)
     s0 = jnp.ones((N,), jnp.float64)
-    # Program-length sizing (CLAUDE rules 3/9): the remote worker kills
-    # long-running programs.  Mixed path: 5 outers/program.  Plain f64 is
-    # driven ONE OUTER PER PROGRAM below (kmax is traced, so the stepping
-    # reuses the one cached executable; measured ~1.2-2.0 s/outer at ~5
-    # tCG inner per outer — a 5-outer chunk is already tens of seconds and
-    # a churny outer at max_inner=1000 alone would exceed the worker
-    # budget).  The cfg itself stays at the defaults so the program hash
-    # matches the round-3 cached compile (~30 min to rebuild otherwise).
     cfg = tr.TRConfig(chunk=5, inner_f32=not plain)
-
     if plain:
         lam = jnp.asarray(0.0, jnp.float64)
         gradtol = jnp.asarray(1e-1, jnp.float64)
         delta_bar = jnp.asarray(float(np.sqrt(N * 3 + N - 1)), jnp.float64)
         st = tr._init_state(Q, R0, s0, lam, delta_bar, cfg)
-        jax.device_get(st.loss)          # compile wall lives here
+        jax.device_get(st.loss)
         t0 = time.perf_counter()
         k = 0
         while k < 2000:
@@ -100,38 +247,38 @@ def main():
             k = int(k_)
             if bool(done):
                 break
-        t_solve = time.perf_counter() - t0
         res = tr.TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
                           st.total_inner, st.done_reason)
-        print(f"TR solve (plain f64, tol 1e-1): {t_solve:6.2f} s  "
+        print(f"TR solve (plain f64): {time.perf_counter() - t0:6.2f} s  "
               f"({int(res.outer_iters)} outer / {int(res.total_inner)} "
               f"inner, primal {float(res.primal):.4e})")
     else:
-        def run():
-            return tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,
-                                         Q32=Q32)
-
-        res = run()
-        jax.device_get(res.primal)           # compile + cold run
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = run()
-            jax.device_get(res.primal)
-            times.append(time.perf_counter() - t0)
-        t_solve = float(np.median(times))
-        print(f"TR solve (edge_f32, tol 1e-1): {t_solve:6.2f} s  "
-              f"({int(res.outer_iters)} outer / {int(res.total_inner)} "
-              f"inner, primal {float(res.primal):.4e})")
-
+        res = tr.trust_region_solve(Qmix, R0, s0, 0.0, 1e-1, cfg=cfg,
+                                    Q32=Q32)
+        jax.device_get(res.primal)
     sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
-    cert = certify(Q, sR, 0.0, res.primal)       # compile
     t0 = time.perf_counter()
     cert = certify(Q, sR, 0.0, res.primal)
     ok = bool(jax.device_get(cert.certified))
-    t_cert = time.perf_counter() - t0
-    print(f"implicit certificate: {t_cert:6.2f} s  certified={ok} "
-          f"lam_min={float(cert.lam_min):.3e} gap={float(cert.gap):.3e}")
+    print(f"implicit certificate: {time.perf_counter() - t0:6.2f} s  "
+          f"certified={ok} lam_min={float(cert.lam_min):.3e}")
+
+
+def main():
+    if "--plain-f64" in sys.argv or "--mixed" in sys.argv:
+        legacy(sys.argv)
+        return
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all",
+                    choices=["build", "f32", "polish", "cert", "all"])
+    ap.add_argument("--tol", type=float, default=1e-1)
+    ap.add_argument("--step", type=int, default=2,
+                    help="outer iterations per f64 polish device program")
+    ap.add_argument("--ring", action="store_true",
+                    help="round-2/3 adversarial ring scene (long_range=0)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="discard on-disk phase checkpoints")
+    campaign(ap.parse_args())
 
 
 if __name__ == "__main__":

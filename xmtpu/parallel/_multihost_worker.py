@@ -6,6 +6,13 @@ Run as ``python -m xmtpu.parallel._multihost_worker`` with env:
   XMTPU_MH_NPROC          number of coordinated processes
   XMTPU_MH_PID            this process's id
   XMTPU_MH_LOCAL_DEVICES  virtual CPU devices per process (default 4)
+  XMTPU_MH_N / XMTPU_MH_M scene size overrides (default 16 / 60 cameras /
+                          landmarks; an n with 3n not divisible by the
+                          global device count exercises uneven row shards)
+  XMTPU_MH_DROPOUT        set on ONE process id: that process exits before
+                          joining the runtime, simulating a crashed launcher
+                          slot; the others must fail with a clean error when
+                          the init barrier times out (JAX_INIT_TIMEOUT)
 
 Each process joins the ``jax.distributed`` runtime, builds the SAME dense
 cost matrix locally (deterministic synthetic scene), loads only its row slab
@@ -32,6 +39,11 @@ def main() -> None:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={ndev}").strip()
 
+    if os.environ.get("XMTPU_MH_DROPOUT") == str(pid):
+        # simulated launcher-slot crash: exit before joining the runtime
+        print("XMTPU_MH_DROPOUT exiting", flush=True)
+        return
+
     import jax
 
     # the axon sitecustomize force-sets jax_platforms at interpreter start;
@@ -52,7 +64,9 @@ def main() -> None:
     from xmtpu.pipeline.synthetic import make_scene
     from xmtpu.solver.staircase import solve_arrays
 
-    scene = make_scene(n_cameras=16, n_points=60, obs_per_camera=30,
+    n_cam = int(os.environ.get("XMTPU_MH_N", "16"))
+    n_pts = int(os.environ.get("XMTPU_MH_M", "60"))
+    scene = make_scene(n_cameras=n_cam, n_points=n_pts, obs_per_camera=30,
                        noise=1e-4, seed=91)
     C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
     C_np = np.asarray(C)

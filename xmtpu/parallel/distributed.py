@@ -24,21 +24,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
+                     process_id: int | None = None,
+                     initialization_timeout: float | None = None) -> None:
     """Initialize the multi-host runtime (no-op when single-process).
 
     Reads ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
     ``JAX_PROCESS_ID`` when args are omitted.
+
+    ``initialization_timeout`` (seconds; env ``JAX_INIT_TIMEOUT``) bounds the
+    coordinator barrier: a process that never joins (crash before init, bad
+    launcher config) turns into a CLEAN RuntimeError on every live process
+    after this long instead of an indefinite hang — the documented failure
+    mode for process dropout at startup (tests/test_multihost.py).
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return  # single host
+    if initialization_timeout is None and "JAX_INIT_TIMEOUT" in os.environ:
+        initialization_timeout = float(os.environ["JAX_INIT_TIMEOUT"])
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = int(initialization_timeout)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
         process_id=process_id if process_id is not None
         else int(os.environ["JAX_PROCESS_ID"]),
+        **kw,
     )
 
 
@@ -52,12 +65,31 @@ def distributed_dense_q(mesh: Mesh, load_rows, shape, axis: str = "cam",
 
     ``load_rows(start, stop) -> np.ndarray`` supplies a row slab (e.g. reading
     a slice of ``Q.bin`` with a memory map).
+
+    When the camera count does not divide the mesh (multi-process arrays
+    require even tiling — GSPMD's implicit-padding escape hatch is
+    single-controller only), the matrix is zero-extended with PHANTOM camera
+    blocks to the next multiple of the device count, the dense analog of
+    ``schurq.pad_cameras``: zero diagonal blocks contribute nothing to the
+    quadratic form, the solver leaves phantom frames at their initial
+    iterate (zero gradient), and the certificate's per-camera dual solves
+    are ridge-floored so ``Z`` just gains exact zero eigenvalues — a
+    ``lam_min > -bound`` decision (bound > 0) never flips.
     """
     sharding = NamedSharding(mesh, P(axis, None))
+    n_dev = mesh.devices.size
+    n = shape[0] // 3
+    n_pad = n + (-n) % n_dev
+    pshape = (3 * n_pad, 3 * n_pad)
 
     def cb(index):
         rows = index[0]
-        return np.asarray(load_rows(rows.start or 0, rows.stop or shape[0]),
-                          dtype=dtype)
+        a, b = rows.start or 0, rows.stop or pshape[0]
+        out = np.zeros((b - a, pshape[1]), dtype=dtype)
+        if a < shape[0]:
+            hi = min(b, shape[0])
+            out[: hi - a, : shape[1]] = np.asarray(load_rows(a, hi),
+                                                   dtype=dtype)
+        return out
 
-    return jax.make_array_from_callback(shape, sharding, cb)
+    return jax.make_array_from_callback(pshape, sharding, cb)

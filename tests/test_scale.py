@@ -138,3 +138,43 @@ def test_rome_class_sharded_certified_staircase():
     errs = rotation_errors(np.transpose(R_blocks, (0, 2, 1)), scene.R_gt,
                            gauge="left")
     assert np.median(errs) < 1e-3
+
+
+@pytest.mark.skipif(os.environ.get("XMTPU_SCALE_TESTS", "0") != "1",
+                    reason="large-N noisy certification: minutes of CPU; "
+                           "set XMTPU_SCALE_TESTS=1")
+def test_noisy_large_n_certifies_through_probe():
+    """VERDICT r3 item 2: a NOISY (noise=1e-3) large-N implicit problem must
+    have a path to acceptance through the CG shift probe — not the
+    structural Delta bound, which is decisive only at near-zero-residual
+    optima.  This is the CPU pin of the n=6144 hardware campaign
+    (benchmarks/n6k_bench.py): same scene family (window + 4 long-range
+    obs/camera), same rank-3 solve-to-tol-1e-1 then certify flow.  The
+    deflated probe (gauge cluster + Ritz direction deflation, BNN
+    preconditioner) must CONVERGE and accept; the test asserts the
+    decision provenance so a regression to Delta-bound-only coverage or to
+    an inconclusive (capped) probe fails loudly."""
+    from xmtpu.solver import trust_region as tr
+    from xmtpu.solver.certificate import certify
+
+    N, M = 4096, 16384
+    scene = make_scene_window(N, M, obs_per_camera=40, noise=1e-3, seed=0,
+                              long_range=4)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
+                     vt_build="ns")
+
+    R0 = mf.identity_frames(N, 3)
+    s0 = jnp.ones((N,), jnp.float64)
+    res = tr.trust_region_solve(Q, R0, s0, 0.0, 1e-1,
+                                cfg=tr.TRConfig(chunk=25, max_time=3000))
+    assert float(res.gradnorm) <= 1e-1
+
+    sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
+    cert = certify(Q, sR, 0.0, res.primal, verbose=True)
+    assert bool(cert.certified)
+    assert cert.info is not None
+    # the acceptance must ride the probe: noisy optimum -> Delta bound too
+    # loose, and the probe must actually converge (not hit a budget cap)
+    assert cert.info["path"] == "probe", cert.info
+    assert not cert.info["delta_bound_decisive"], cert.info
+    assert cert.info["probe_iters"] > 0

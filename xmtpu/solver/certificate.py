@@ -33,6 +33,7 @@ n>10000 branches unreachable; per SURVEY.md section 2.1 we replicate the
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -66,6 +67,13 @@ class CertificateResult(NamedTuple):
     gap: jax.Array
     dual: jax.Array
     primal: jax.Array
+    # decision provenance (matvec flow only; None elsewhere): which branch
+    # decided — "gap" (duality-gap), "bound" (deflated-Lanczos/Delta lower
+    # bound), "probe" / "probe_refuted" (CG shift probe), "inconclusive" —
+    # plus probe iteration count.  Lets callers/tests assert e.g. that a
+    # noisy large-N acceptance rode the probe, not the Delta bound
+    # (VERDICT r3 item 2).
+    info: "dict | None" = None
 
 
 def _camera0_patterns(dtype=jnp.float64) -> jnp.ndarray:
@@ -489,7 +497,8 @@ class ProbeResult(NamedTuple):
 
 def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
                         v0=None, has_v0: bool = False, chunk: int = 64,
-                        min_explore: int = 32) -> ProbeResult:
+                        min_explore: int = 32, deflate: bool = True,
+                        max_seconds: "float | None" = 900.0) -> ProbeResult:
     """CG shift probe: decides ``lam_min(Z) > -shift`` through the factored
     operator — the implicit analog of the dense certificate's Cholesky probe
     of ``Z + bound I`` (checkeig.h:303-337 / `_build_z_dual_psd`).
@@ -537,21 +546,62 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
     (``chunk`` iterations per program): at n >= ~5000 a 512-matvec single
     program is minutes of device time and remote TPU runtimes kill
     long-running programs (CLAUDE rule: chunk every long while_loop).
+
+    **Deflation** (``deflate=True``, VERDICT r3 item 2): the bottom cluster
+    of ``Z`` at a near-optimal iterate is structurally known — span(sR)
+    (the o gauge/kernel directions, cf. ``_deflated_min_eig``) plus the
+    lowest Ritz direction ``v0``.  Those o+1 directions sit at ~``shift``
+    after shifting and dominate the preconditioned condition number, hence
+    CG's iteration count.  The probe
+
+    * checks the small block ``E = W'(Z + shift I)W`` EXACTLY (one o+1
+      eigh of exact matvecs): ``lam_min(E) <= 0`` is a sound refutation
+      with witness ``W c``;
+    * otherwise runs CG with the BNN deflation preconditioner
+      ``M2^-1 = P' Mj^-1 P + W E^-1 W'`` with ``P = I - (AW) E^-1 W'``
+      (Tang/Nabben/Vuik A-DEF/BNN family; ``AW`` cached so the low-rank
+      terms are thin GEMVs, no extra full matvecs).  Preconditioning only
+      reshapes the search directions — the curvature test stays
+      ``p'(Z + shift I)p`` against the EXACT full operator, so the
+      refutation witness and the clean-pass acceptance semantics are
+      unchanged; the deflated directions' effective eigenvalues move to 1
+      and CG converges at the condition number of the REMAINING spectrum.
+
+    **Budget** (VERDICT r3 item 2): the iteration bound defaults to ~1.1x
+    the dimension (CG's finite-termination margin) with NO hard cap, and a
+    wall-clock bound ``max_seconds`` is the real limiter at scale — at
+    Rome-class dim (3n ~ 30k) an 8192-iteration cap made the probe
+    structurally inconclusive regardless of spectrum; with deflation the
+    decisive pass converges orders below dim, and when it genuinely cannot,
+    the wall clock bounds the spend and the result stays honestly
+    inconclusive.
     """
     import numpy as _np
 
-    three_n = sR.shape[0]
+    three_n, o = sR.shape
     if max_iters is None:
         # CG reaches the full Krylov space in at most dim steps — a budget
         # of ~dim (+ margin for floating-point loss of finite termination)
-        # makes the probe an all-but-exact decision procedure, which is why
-        # small problems always resolve.  Cap the worst case: beyond the cap
-        # a marginal spectrum (lam_min within ~1e-1 of -shift relative to
-        # the preconditioned spread) stays honestly inconclusive.
-        max_iters = int(min(max(512, 1.1 * three_n + 64), 8192))
+        # makes the probe an all-but-exact decision procedure.  No hard
+        # iteration cap: max_seconds bounds the worst case at scale.
+        max_iters = int(max(512, 1.1 * three_n + 64))
+    deadline = (float("inf") if max_seconds is None
+                else time.monotonic() + max_seconds)
+
+    W = AW = Einv = None
+    if deflate:
+        W, AW, E = _probe_deflation_basis(
+            Q_op, sR, lam, shift, v0 if has_v0 else None)
+        wE, VE = (_np.asarray(a) for a in jax.device_get(jnp.linalg.eigh(E)))
+        if wE[0] <= 0.0:
+            # exact small-block indefiniteness: (W c)' (Z + shift) (W c) =
+            # c' E c <= 0 — sound witness, no CG needed
+            wdir = W @ jnp.asarray(VE[:, 0])
+            return ProbeResult(False, True, False, int(o) + 1, wdir)
+        Einv = jnp.asarray(VE @ ((1.0 / wE)[:, None] * VE.T), sR.dtype)
 
     def start_vec(probe_idx: int):
-        if probe_idx == 0 and has_v0 and v0 is not None:
+        if probe_idx == 0 and has_v0 and v0 is not None and not deflate:
             return v0 / jnp.linalg.norm(v0)
         b = jax.random.normal(jax.random.PRNGKey(7 + probe_idx), (three_n,),
                               dtype=sR.dtype)
@@ -572,15 +622,22 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
 
     total = 0
     probe_idx = 0
+    timed_out = False
     while True:
         b = start_vec(probe_idx)
         carry = dummy
         it = 0
         budget = min(max_iters - total, max_iters)
         converged = False
+        neg = False
         while it < budget:
             kmax = jnp.asarray(min(it + chunk, budget), jnp.int32)
-            carry = _psd_probe_chunk(Q_op, sR, lam, shift, b, carry, kmax)
+            if deflate:
+                carry = _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry,
+                                              kmax, W, AW, Einv)
+            else:
+                carry = _psd_probe_chunk(Q_op, sR, lam, shift, b, carry,
+                                         kmax)
             # ONE batched scalar fetch per chunk (platform rule 5)
             it, neg, rr, bb = jax.device_get(
                 (carry.it, carry.neg, carry.rr, carry.bb))
@@ -588,11 +645,16 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
             converged = float(rr) <= 1e-24 * float(bb)
             if neg or converged:
                 break
+            if time.monotonic() > deadline:
+                timed_out = True
+                break
         total += it
         if bool(neg):
             return ProbeResult(False, True, converged, total, carry.wdir)
         if not converged:
-            # budget exhausted without a decision: inconclusive
+            # budget (iterations or wall clock) exhausted without a
+            # decision: inconclusive
+            del timed_out
             return ProbeResult(False, False, False, total, carry.wdir)
         if total >= min_explore:
             return ProbeResult(True, False, True, total, carry.wdir)
@@ -603,6 +665,51 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
             # default max_iters >= 512 this branch is unreachable)
             return ProbeResult(False, False, True, total, carry.wdir)
         probe_idx += 1  # converged early: explore more from a fresh start
+
+
+def _probe_deflation_basis(Q_op, sR, lam, shift, v0):
+    """Orthonormal (3n, o+1) deflation basis ``W = orth([sR | v0])`` plus the
+    cached exact products ``AW = (Z + shift I) W`` and the small block
+    ``E = W' A W`` (one jitted program; o+1 extra matvecs per certificate).
+
+    A ``v0`` that is (numerically) inside span(sR) — or absent — is replaced
+    by a fixed random direction before orthonormalization so the basis shape
+    stays static."""
+    three_n, o = sR.shape
+    if v0 is None:
+        v0 = jnp.zeros((three_n,), sR.dtype)
+    # Q_op is passed as a pytree ARGUMENT, never closed over (a jit-captured
+    # operator embeds its O(N^2) arrays as constants -> HTTP 413 from the
+    # remote compiler; CLAUDE platform rule 2)
+    return _probe_deflation_build(Q_op, sR, jnp.asarray(v0, sR.dtype),
+                                  lam, shift)
+
+
+@jax.jit
+def _probe_deflation_build(Q_op, sR, v0col, lam, shift):
+    three_n, o = sR.shape
+    # U = orth(sR) via the o x o Gram eigendecomposition (same platform-
+    # proven construction as _deflated_min_eig; no tall QR on this backend)
+    G = jnp.dot(sR.T, sR, precision=jax.lax.Precision.HIGHEST)
+    wG, VG = jnp.linalg.eigh(G)
+    wG = jnp.maximum(wG, jnp.asarray(1e-30, sR.dtype))
+    U = sR @ ((VG / jnp.sqrt(wG)) @ VG.T)
+    # v0 orthogonalized against U; a (numerically) dependent v0 falls back
+    # to a fixed random direction so the basis shape stays static
+    rnd = jax.random.normal(jax.random.PRNGKey(11), (three_n,),
+                            dtype=sR.dtype)
+    w = v0col - U @ (U.T @ v0col)
+    nw = jnp.linalg.norm(w)
+    alt = rnd - U @ (U.T @ rnd)
+    w = jnp.where(nw > 1e-8 * jnp.maximum(jnp.linalg.norm(v0col), 1.0),
+                  w / jnp.maximum(nw, 1e-30),
+                  alt / jnp.linalg.norm(alt))
+    Wn = jnp.concatenate([U, w[:, None]], axis=1)
+    zmul_mat, _ = _implicit_z_parts(Q_op, sR, lam)
+    AW = zmul_mat(Wn) + shift * Wn
+    E = Wn.T @ AW
+    E = 0.5 * (E + E.T)
+    return Wn, AW, E
 
 
 class _ProbeCarry(NamedTuple):
@@ -639,6 +746,81 @@ def _psd_probe_chunk(Q_op, sR, lam, shift, b, carry, kmax):
     def precond(r):
         return jnp.einsum(
             "nab,nb->na", Minv, r.reshape(n, 3)).reshape(three_n)
+
+    def amul(x):
+        return zmul_mat(x[:, None])[:, 0] + shift * x
+
+    def mk_init(c):
+        bb = jnp.vdot(b, b)
+        z0 = precond(b)
+        return _ProbeCarry(
+            x=jnp.zeros_like(b), r=b, p=z0, rr=bb, rz=jnp.vdot(b, z0),
+            bb=bb, it=jnp.zeros((), jnp.int32), neg=jnp.asarray(False),
+            wdir=jnp.zeros_like(b))
+
+    carry = jax.tree_util.tree_map(jnp.asarray, carry)
+    carry = jax.lax.cond(carry.it == 0, mk_init, lambda c: c, carry)
+
+    def cond(c: _ProbeCarry):
+        return (c.it < kmax) & (~c.neg) & (c.rr > 1e-24 * c.bb)
+
+    def body(c: _ProbeCarry):
+        Ap = amul(c.p)
+        pAp = jnp.vdot(c.p, Ap)
+        neg = pAp <= 0.0
+        alpha = c.rz / jnp.where(neg, 1.0, pAp)
+        x = c.x + alpha * c.p
+        r = c.r - alpha * Ap
+        rr_new = jnp.vdot(r, r)
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / c.rz
+        p = z + beta * c.p
+        wdir = jnp.where(neg, c.p, c.wdir)
+        return _ProbeCarry(x=jnp.where(neg, c.x, x), r=r, p=p,
+                           rr=jnp.where(neg, c.rr, rr_new),
+                           rz=jnp.where(neg, c.rz, rz_new), bb=c.bb,
+                           it=c.it + 1, neg=c.neg | neg, wdir=wdir)
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+@jax.jit
+def _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry, kmax, W, AW, Einv):
+    """Deflated variant of :func:`_psd_probe_chunk`: CG on the EXACT
+    ``A = Z + shift I`` (curvature test and refutation witness unchanged)
+    under the BNN deflation preconditioner
+
+        M2^-1 = P' Mj^-1 P + W E^-1 W',   P = I - (AW) E^-1 W'
+
+    with ``Mj`` the block-Jacobi SPD floor and ``(W, AW, E^-1)`` the cached
+    orthonormal bottom-cluster basis from :func:`_probe_deflation_basis`.
+    The deflated directions' effective eigenvalues move to 1, so CG
+    converges at the condition number of the remaining spectrum — the
+    near-zero gauge cluster no longer sets the iteration count.  All
+    low-rank terms are thin GEMVs against cached arrays; one full matvec
+    per iteration, same as the undeflated chunk.  A breakdown of the (only
+    conjecturally SPD) preconditioned recurrence surfaces as NaNs, which
+    exit the loop unconverged — inconclusive, never an accept."""
+    three_n = sR.shape[0]
+    n = three_n // 3
+    zmul_mat, _, Zdiag = _implicit_z_parts(Q_op, sR, lam, with_diag=True)
+
+    Ms = Zdiag + shift * jnp.eye(3, dtype=sR.dtype)
+    wM, VM = jnp.linalg.eigh(Ms)
+    floor = 1e-6 * jnp.maximum(jnp.max(jnp.abs(wM)), 1e-30)
+    wM = jnp.maximum(wM, floor)
+    Minv = jnp.einsum("nak,nk,nbk->nab", VM, 1.0 / wM, VM)
+
+    def jacobi(r):
+        return jnp.einsum(
+            "nab,nb->na", Minv, r.reshape(n, 3)).reshape(three_n)
+
+    def precond(r):
+        pr = r - AW @ (Einv @ (W.T @ r))          # P r
+        z = jacobi(pr)
+        z = z - W @ (Einv @ (AW.T @ z))           # P' z
+        return z + W @ (Einv @ (W.T @ r))         # + Q r
 
     def amul(x):
         return zmul_mat(x[:, None])[:, 0] + shift * x
@@ -720,18 +902,29 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
     and large dense ones): deflated two-block Lanczos bound + structural
     Delta bound, with the convergence-gated CG shift probe as the decider.
 
-    Returns ``(certified, v, lam_min, gap, dual, conclusive)`` —
+    Returns ``(certified, v, lam_min, gap, dual, conclusive, info)`` —
     ``conclusive=False`` means neither acceptance nor refutation was
     established (truncated probe); dense callers then fall back to the
-    Cholesky probe."""
+    Cholesky probe.  ``info`` records the deciding branch (see
+    ``CertificateResult.info``)."""
     n = sR.shape[0] // 3
     lam_min, v, gap, dual, resid, lam_U, delta_min = _certify_core_matvec(
         Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
-    (lam_min_v, gap_v, resid_v, dual_v, primal_v) = (
+    (lam_min_v, gap_v, resid_v, dual_v, primal_v, delta_min_v) = (
         float(x) for x in jax.device_get(
-            (lam_min, gap, resid, dual, primal)))
-    del lam_U, delta_min  # folded into the deflated lower bound already
-    certified = (gap_v / primal_v < 1e-3) or (lam_min_v - resid_v > -bound)
+            (lam_min, gap, resid, dual, primal, delta_min)))
+    del lam_U  # folded into the deflated lower bound already
+    by_gap = gap_v / primal_v < 1e-3
+    by_bound = lam_min_v - resid_v > -bound
+    certified = by_gap or by_bound
+    # was the structural Delta bound what made the lower bound decisive?
+    # (the folded lb is max(lanczos_lb, delta_min) when structurally PSD)
+    delta_decisive = bool(certified and not by_gap
+                          and getattr(Q, "psd_by_construction", False)
+                          and delta_min_v > -bound)
+    info = {"path": "gap" if by_gap else ("bound" if by_bound
+                                          else "inconclusive"),
+            "delta_bound_decisive": delta_decisive, "probe_iters": 0}
     conclusive = True
     if not certified and lam_min_v > -bound:
         # the Ritz ESTIMATE is inside the acceptance region but the
@@ -744,13 +937,16 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
         # inconclusive (VERDICT r2).
         shift = jnp.asarray(bound, jnp.float64)
         pr = _implicit_psd_probe(Q, sR, lam, shift, v0=v, has_v0=True)
+        info["probe_iters"] = pr.iters
         if pr.accept:
             certified = True
+            info["path"] = "probe"
             # reference gap semantics: min-eig acceptance treats lam_min
             # as bounded below by -bound
             gap = jnp.asarray(primal_v - dual_v + 3.0 * n * bound)
         elif pr.refuted:
             # sound indefiniteness witness: p' Z p <= -shift ||p||^2
+            info["path"] = "probe_refuted"
             v = pr.wdir / jnp.linalg.norm(pr.wdir)
         else:
             conclusive = False
@@ -758,7 +954,7 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
                 print(f"[certify] shift probe inconclusive after "
                       f"{pr.iters} matvecs (no convergence, no negative "
                       f"curvature)")
-    return certified, v, lam_min, gap, dual, conclusive
+    return certified, v, lam_min, gap, dual, conclusive, info
 
 
 def certify(C, sR, lam, primal, verbose: bool = False,
@@ -789,16 +985,16 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         # Cholesky probe is the XM2 pipeline's dominant phase at this size,
         # VERDICT r2 item 3); fall back to the Cholesky probe only when the
         # matvec flow is inconclusive
-        certified, v, lam_min, gap, dual, conclusive = _matvec_cert_flow(
-            Q, sR, lam, primal, bound, v0, verbose)
+        certified, v, lam_min, gap, dual, conclusive, info = (
+            _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose))
         if conclusive:
             if verbose:
                 print(f"[certify] primal={float(primal):.6e} "
                       f"dual={float(dual):.6e} gap={float(gap):.3e} "
                       f"lam_min={float(lam_min):.3e} "
-                      f"certified={bool(certified)}")
+                      f"certified={bool(certified)} path={info['path']}")
             return CertificateResult(jnp.asarray(certified), v, lam_min,
-                                     gap, dual, primal)
+                                     gap, dual, primal, info)
         method = "auto"  # fall through to the Cholesky probe below
 
     if hasattr(Q, "C") and method == "auto":
@@ -806,6 +1002,7 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         # No eigendecomposition in the certified case; Lanczos (fast on a
         # separated negative extreme) only when the probe fails and the
         # escape direction is actually needed.
+        info = None
         Z, dual, psd_shift, lam_min_est, lam_min_lb, v_inv = (
             _build_z_dual_psd(Q.C, sR, lam, bound))
         psd_shift_v, dual_v, primal_v, lam_min_v, lam_min_lb_v = (
@@ -815,6 +1012,7 @@ def certify(C, sR, lam, primal, verbose: bool = False,
             Z, n, bound, float(primal_v), float(dual_v), bool(psd_shift_v),
             float(lam_min_v), float(lam_min_lb_v), v_inv, v0=v0)
     elif hasattr(Q, "C"):
+        info = None
         use_lanczos = method == "lanczos"
         lam_min, v, gap, dual, resid = _certify_core(
             Q.C, sR, lam, primal, v0=v0, use_lanczos=use_lanczos,
@@ -830,11 +1028,11 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         # convergence-gated CG shift probe as the decider when neither is
         # conclusive.  An inconclusive flow leaves the point uncertified
         # (VERDICT r2: acceptance on budget exhaustion was unsound).
-        certified, v, lam_min, gap, dual, _conclusive = _matvec_cert_flow(
-            Q, sR, lam, primal, bound, v0, verbose)
+        certified, v, lam_min, gap, dual, _conclusive, info = (
+            _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose))
         certified = jnp.asarray(certified)
     if verbose:
         print(f"[certify] primal={float(primal):.6e} dual={float(dual):.6e} "
               f"gap={float(gap):.3e} lam_min={float(lam_min):.3e} "
               f"certified={bool(certified)}")
-    return CertificateResult(certified, v, lam_min, gap, dual, primal)
+    return CertificateResult(certified, v, lam_min, gap, dual, primal, info)

@@ -166,8 +166,13 @@ def _scale_metric():
             cfg_pol = tr.TRConfig(chunk=50, inner_f32=True,
                                   stop_on_collapse=True)
             t0 = time.perf_counter()
+            # delta0: restart the polish at the tol-1e-1 stage's final
+            # radius instead of delta_bar/8 — the default is orders above
+            # the near-converged step scale and burns outers in
+            # reject/collapse churn (VERDICT r3 item 4)
             res = tr.trust_region_solve(op, res.R, res.s_ex, 0.0, 1e-3,
-                                        cfg=cfg_pol, Q32=Q32)
+                                        cfg=cfg_pol, Q32=Q32,
+                                        delta0=res.delta)
             jax.device_get(res.primal)
             out["scale_polish_s"] = round(time.perf_counter() - t0, 3)
             out["scale_polish_iters"] = (int(res.outer_iters),

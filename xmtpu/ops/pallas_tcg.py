@@ -1,0 +1,374 @@
+"""Pallas TPU kernel: the ENTIRE non-GEMM body of one tCG inner iteration.
+
+Motivation (VERDICT r3 item 6): at small-to-mid n the trust-region stage is
+bound not by FLOPs but by the per-iteration latency chain of ~30 small VPU
+ops (project / ehess2rhess contractions, 3 inner products, the Steihaug
+scalar logic, 6 axpys) — ~0.27 ms/iter on SIMPLE1's f32 phase where every
+array is a few KB.  This kernel fuses all of it into ONE Pallas program per
+iteration, so an inner iteration becomes [XLA GEMM] + [one kernel] instead
+of a long chain of kernel launches.
+
+Layout: camera-lane-major.  A factor block array ``X (n, 3, o)`` is stored
+transposed as ``Xt (3o, Np)`` with ``Xt[k*o+j, i] = X[i, k, j]`` and
+``Np = n`` padded to a lane multiple (128).  Per-camera 3x3/3xo contractions
+then unroll into straight-line (1, Np) VPU ops vectorized over cameras —
+no MXU tile padding, no batched-matmul emulation — and the Riemannian inner
+products are plain block reductions.  Scale-channel arrays are ``(1, Np)``
+with camera slot 0 and padding fixed at zero (mask ``maskfree``).
+
+The Steihaug recurrences, flags and end-reasons replicate
+``trust_region._inner_tcg`` exactly (same update order, same guards); the
+block-Jacobi preconditioner is included (the production default).  f32 only:
+this platform's compiler rejects f64 Pallas custom calls, and the kernel
+serves the ladder's f32 phase — the f64 polish keeps the XLA path.
+
+Used by ``trust_region._inner_tcg`` when the carry dtype is f32 on a TPU
+backend (``TRConfig.pallas_tcg``); numerically validated against the XLA
+path in tests/test_pallas_tcg.py (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU builds too; guard for safety
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+# scalar-vector slots (SMEM (1, NS))
+S_RDOTR, S_RDOTZ, S_VDOTV, S_VDOTP, S_PDOTP, S_ER, S_DONE, S_I = range(8)
+NS = 8
+# config-scalar slots
+C_LAM, C_DELTA, C_GNORM, C_RMIN = range(4)
+NC = 4
+
+ER_NEGCURV, ER_BOUNDARY, ER_SUPERLINEAR = 1, 2, 3
+ER_SMALL_RDOTR, ER_MAX_INNER = 5, 6
+
+
+def _rows(X, o):
+    """(3o, Np) -> nested python list rows[k][j] of (1, Np) blocks."""
+    return [[X[k * o + j][None, :] for j in range(o)] for k in range(3)]
+
+
+def _gram3_sym(A, B, o):
+    """S[k][l] = 0.5 * sum_j (A[k][j] B[l][j] + A[l][j] B[k][j])."""
+    S = [[None] * 3 for _ in range(3)]
+    for k in range(3):
+        for l in range(k, 3):
+            acc = A[k][0] * B[l][0] + A[l][0] * B[k][0]
+            for j in range(1, o):
+                acc = acc + A[k][j] * B[l][j] + A[l][j] * B[k][j]
+            S[k][l] = S[l][k] = 0.5 * acc
+    return S
+
+
+def _apply3(S, R, o):
+    """out[k][j] = sum_l S[k][l] R[l][j]."""
+    return [[S[k][0] * R[0][j] + S[k][1] * R[1][j] + S[k][2] * R[2][j]
+             for j in range(o)] for k in range(3)]
+
+
+def _sub(A, B, o):
+    return [[A[k][j] - B[k][j] for j in range(o)] for k in range(3)]
+
+
+def _dot_rows(A, B, o):
+    """per-camera Frobenius dot: (1, Np) = sum_kj A[k][j]*B[k][j]."""
+    acc = None
+    for k in range(3):
+        for j in range(o):
+            t = A[k][j] * B[k][j]
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def _flat(rows, o):
+    return jnp.concatenate([rows[k][j] for k in range(3) for j in range(o)],
+                           axis=0)
+
+
+def _tcg_kernel(Rt, s_ex, sfree, inv_s2, egs, Segrt, CsRt, minvRt, inv_ms,
+                CWt, vR, vs, rR, rs, pR, ps, hvR, hvs, sc, cfgsc,
+                vR_o, vs_o, rR_o, rs_o, pR_o, ps_o, hvR_o, hvs_o, sc_o,
+                *, o):
+    """One fused tCG iteration.  All array refs f32 VMEM; sc/cfgsc SMEM."""
+    R = _rows(Rt[:], o)
+    p = _rows(pR[:], o)
+    CW = _rows(CWt[:], o)
+    CsR = _rows(CsRt[:], o)
+    Seg = [[Segrt[k * 3 + l][None, :] for l in range(3)] for k in range(3)]
+    Mv = [[minvRt[k * 3 + l][None, :] for l in range(3)] for k in range(3)]
+    sex = s_ex[:]        # (1, Np); padding 1.0
+    msk = sfree[:]       # (1, Np); 1 on free cameras 1..n-1, else 0
+    is2 = inv_s2[:]      # (1, Np); 1/s^2 on free cameras, 0 elsewhere
+    egs_v = egs[:]
+    ps_v = ps[:]         # camera-slot layout, slot 0 == 0
+    rs_v = rs[:]
+
+    lam = cfgsc[0, C_LAM]
+    delta = cfgsc[0, C_DELTA]
+    gradnorm = cfgsc[0, C_GNORM]
+    rdotr_min = cfgsc[0, C_RMIN]
+    rdotr = sc[0, S_RDOTR]
+    rdotz = sc[0, S_RDOTZ]
+    vdotv = sc[0, S_VDOTV]
+    vdotp = sc[0, S_VDOTP]
+    pdotp = sc[0, S_PDOTP]
+
+    # ---- ehess tail: hR = CsR .* su_ex + CW .* s_ex ; hs (per camera) ----
+    su = ps_v            # su_ex in camera slots (slot0 = 0 by invariant)
+    h = [[CsR[k][j] * su + CW[k][j] * sex for j in range(o)]
+         for k in range(3)]
+    s_v = sex            # free scales live in their camera slots
+    hs = (_dot_rows(CW, R, o) + _dot_rows(CsR, p, o)
+          + 4.0 * lam * (3.0 * s_v * s_v - 1.0) * su) * msk
+
+    # ---- ehess2rhess: rh = P(h - Seg p) ; rhs = hs s^2 + su s egs --------
+    rh = _sub(h, _apply3(Seg, p, o), o)
+    S2 = _gram3_sym(R, rh, o)
+    rh = _sub(rh, _apply3(S2, R, o), o)
+    rhs = (hs * s_v * s_v + su * s_v * egs_v) * msk
+
+    # ---- pHp and Steihaug scalars ----------------------------------------
+    pHp = jnp.sum(_flat(p, o) * _flat(rh, o)) + jnp.sum(ps_v * rhs * is2)
+    alpha = rdotz / pHp
+
+    small = rdotr < rdotr_min
+    negcurv = jnp.logical_and(jnp.logical_not(small), alpha <= 0.0)
+    boundary_q = vdotv + 2.0 * alpha * vdotp + alpha * alpha * pdotp
+    exceed = jnp.logical_and(
+        jnp.logical_not(small),
+        jnp.logical_and(jnp.logical_not(negcurv),
+                        boundary_q > delta * delta))
+    to_edge = jnp.logical_or(negcurv, exceed)
+    normal = jnp.logical_and(jnp.logical_not(small),
+                             jnp.logical_not(to_edge))
+
+    sqrt_val = jnp.sqrt(jnp.maximum(
+        vdotp * vdotp + pdotp * (delta * delta - vdotv), 0.0))
+    tau = (-vdotp + sqrt_val) / pdotp
+    coef = jnp.where(to_edge, tau, jnp.where(normal, alpha, 0.0))
+    step_a = jnp.where(normal, alpha, 0.0)
+
+    # ---- axpys ------------------------------------------------------------
+    vR_o[:] = vR[:] + coef * pR[:]
+    vs_new = vs[:] + coef * ps_v
+    vs_o[:] = vs_new
+    hvR_o[:] = hvR[:] + coef * _flat(rh, o)
+    hvs_o[:] = hvs[:] + coef * rhs
+    rR_new = rR[:] + step_a * _flat(rh, o)
+    rs_new = rs_v + step_a * rhs
+    rR_o[:] = rR_new
+    rs_o[:] = rs_new
+
+    rdotr_new = jnp.sum(rR_new * rR_new) + jnp.sum(rs_new * rs_new * is2)
+
+    # ---- block-Jacobi preconditioner (projected block solve) -------------
+    r_rows = _rows(rR_new, o)
+    z = _apply3(Mv, r_rows, o)
+    Sz = _gram3_sym(R, z, o)
+    z = _sub(z, _apply3(Sz, R, o), o)
+    zs = rs_new * inv_ms[:]
+    rdotz_new = (jnp.sum(rR_new * _flat(z, o))
+                 + jnp.sum(rs_new * zs * is2))
+
+    superlin = jnp.logical_and(
+        normal,
+        jnp.sqrt(rdotr_new) < gradnorm * jnp.minimum(gradnorm, 0.1))
+
+    beta = rdotz_new / rdotz
+    pR_o[:] = jnp.where(normal, -_flat(z, o) + beta * pR[:], pR[:])
+    ps_o[:] = jnp.where(normal, -zs + beta * ps_v, ps_v)
+
+    sc_o[0, S_VDOTV] = jnp.where(
+        normal, vdotv + 2.0 * alpha * vdotp + alpha * alpha * pdotp, vdotv)
+    sc_o[0, S_VDOTP] = jnp.where(normal, beta * (vdotp + alpha * pdotp),
+                                 vdotp)
+    sc_o[0, S_PDOTP] = jnp.where(normal, beta * beta * pdotp + rdotz_new,
+                                 pdotp)
+    sc_o[0, S_RDOTR] = jnp.where(normal, rdotr_new, rdotr)
+    sc_o[0, S_RDOTZ] = jnp.where(normal, rdotz_new, rdotz)
+    # explicit f32 constants: weak-typed python floats promote the select
+    # chain to f64, which Mosaic rejects on this platform
+    c = lambda v: jnp.float32(v)
+    er = jnp.where(
+        small, c(ER_SMALL_RDOTR),
+        jnp.where(negcurv, c(ER_NEGCURV),
+                  jnp.where(exceed, c(ER_BOUNDARY),
+                            jnp.where(superlin, c(ER_SUPERLINEAR),
+                                      c(ER_MAX_INNER)))))
+    sc_o[0, S_ER] = er
+    done = jnp.logical_or(jnp.logical_or(small, to_edge), superlin)
+    sc_o[0, S_DONE] = done.astype(jnp.float32)
+    sc_o[0, S_I] = sc[0, S_I] + 1.0
+
+
+def _pad_n(n):
+    return ((n + 127) // 128) * 128
+
+
+def to_t(X):
+    """(n, 3, o) -> (3o, Np) camera-lane-major, zero padded."""
+    n, _, o = X.shape
+    Np = _pad_n(n)
+    Xt = jnp.transpose(X, (1, 2, 0)).reshape(3 * o, n)
+    return jnp.pad(Xt, ((0, 0), (0, Np - n)))
+
+
+def from_t(Xt, n, o):
+    """(3o, Np) -> (n, 3, o)."""
+    return jnp.transpose(Xt[:, :n].reshape(3, o, n), (2, 0, 1))
+
+
+def pack_s(x, n, fill=0.0):
+    """(n-1,) free-scale array -> (1, Np) camera-slot layout."""
+    Np = _pad_n(n)
+    out = jnp.full((1, Np), fill, x.dtype)
+    return out.at[0, 1:n].set(x)
+
+
+def unpack_s(xs, n):
+    return xs[0, 1:n]
+
+
+def _tcg_loop(qmul_csr, Rt, s_ex_t, sfree, inv_s2, egs_t, Segrt, CsRt,
+              minvRt, inv_ms, pgRt, pgs_t, zRt, zs_t, sc0, cfgsc,
+              o: int, max_inner: int, interpret: bool):
+    """The full Steihaug loop in transposed layout: per iteration one XLA
+    GEMM (through ``qmul_csr``) and one fused Pallas kernel.  Traced inside
+    the caller's jit (``trust_region._run_chunk``); not jitted itself."""
+    shape = Rt.shape
+    Np = shape[1]
+    blk = jax.ShapeDtypeStruct(shape, jnp.float32)
+    row = jax.ShapeDtypeStruct((1, Np), jnp.float32)
+
+    def body(c):
+        (vR, vs, rR, rs, pR, ps, hvR, hvs, sc) = c
+        # W = p_R .* s_ex + R .* su_ex  (transposed layout, XLA fuses)
+        W = pR * s_ex_t + Rt * ps
+        CWt = qmul_csr(W)
+        outs = pl.pallas_call(
+            partial(_tcg_kernel, o=o),
+            out_shape=[blk, row, blk, row, blk, row, blk, row,
+                       jax.ShapeDtypeStruct((1, NS), jnp.float32)],
+            in_specs=[_vspec()] * 18 + [_sspec(), _sspec()],
+            out_specs=[_vspec()] * 8 + [_sspec()],
+            interpret=interpret,
+        )(Rt, s_ex_t, sfree, inv_s2, egs_t, Segrt, CsRt, minvRt, inv_ms,
+          CWt, vR, vs, rR, rs, pR, ps, hvR, hvs, sc, cfgsc)
+        return tuple(outs)
+
+    def cond(c):
+        sc = c[-1]
+        return jnp.logical_and(sc[0, S_I] < max_inner,
+                               sc[0, S_DONE] == 0.0)
+
+    zero_b = jnp.zeros(shape, jnp.float32)
+    zero_s = jnp.zeros((1, Np), jnp.float32)
+    init = (zero_b, zero_s, pgRt, pgs_t, -zRt, -zs_t, zero_b, zero_s, sc0)
+    out = jax.lax.while_loop(cond, body, init)
+    vR, vs, rR, rs, pR, ps, hvR, hvs, sc = out
+    return vR, vs, hvR, hvs, sc
+
+
+def _vspec():
+    if _HAS_PLTPU:
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.BlockSpec(memory_space=pl.ANY)  # pragma: no cover
+
+
+def _sspec():
+    if _HAS_PLTPU:
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.BlockSpec(memory_space=pl.ANY)  # pragma: no cover
+
+
+def tcg_available(dtype, backend: str | None = None) -> bool:
+    import os
+
+    if os.environ.get("XMTPU_PALLAS_TCG", "auto") == "off":
+        return False
+    if dtype != jnp.float32:
+        return False
+    b = backend or jax.default_backend()
+    if b == "tpu":
+        return True
+    # interpret mode: opt-in (tests); far too slow for production CPU
+    return os.environ.get("XMTPU_PALLAS_TCG") == "interpret"
+
+
+def inner_tcg_fused(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta,
+                    lam, cfg, minv):
+    """Drop-in replacement for ``trust_region._inner_tcg`` (f32 + block-
+    Jacobi preconditioning path).  Same returns:
+    ``(vR, vs, hvR, hvs, endreason, iters)``."""
+    from xmtpu.ops import manifold as mf
+
+    n, _, o = R.shape
+    Np = _pad_n(n)
+    interpret = jax.default_backend() != "tpu"
+    s = s_ex[1:]
+
+    Segr = mf.sym3(mf.gram3(R, egR))
+    minv_R, ms = minv
+    zR0, zs0 = (mf.apply3(minv_R, pgR)
+                - mf.apply3(mf.sym3(mf.gram3(R, mf.apply3(minv_R, pgR))), R),
+                pgs / ms)
+    rdotr0 = mf.inner(pgR, pgR, pgs, pgs, s)
+    rdotz0 = mf.inner(pgR, zR0, pgs, zs0, s)
+
+    f32 = jnp.float32
+    Rt = to_t(R.astype(f32))
+    s_ex_t = jnp.pad(s_ex.astype(f32)[None, :], ((0, 0), (0, Np - n)),
+                     constant_values=1.0)
+    sfree = pack_s(jnp.ones((n - 1,), f32), n)
+    inv_s2 = pack_s((1.0 / (s * s)).astype(f32), n)
+    egs_t = pack_s(egs.astype(f32), n)
+    Segrt = jnp.pad(jnp.transpose(Segr.astype(f32), (1, 2, 0)).reshape(9, n),
+                    ((0, 0), (0, Np - n)))
+    CsRt = to_t(CsR.astype(f32))
+    minvRt = jnp.pad(
+        jnp.transpose(minv_R.astype(f32), (1, 2, 0)).reshape(9, n),
+        ((0, 0), (0, Np - n)))
+    inv_ms = pack_s((1.0 / ms).astype(f32), n)
+    pgRt = to_t(pgR.astype(f32))
+    pgs_t = pack_s(pgs.astype(f32), n)
+    zRt = to_t(zR0.astype(f32))
+    zs_t = pack_s(zs0.astype(f32), n)
+
+    sc0 = jnp.zeros((1, NS), f32)
+    sc0 = sc0.at[0, S_RDOTR].set(rdotr0.astype(f32))
+    sc0 = sc0.at[0, S_RDOTZ].set(rdotz0.astype(f32))
+    sc0 = sc0.at[0, S_PDOTP].set(rdotz0.astype(f32))
+    sc0 = sc0.at[0, S_ER].set(float(ER_MAX_INNER))
+    cfgsc = jnp.zeros((1, NC), f32)
+    cfgsc = cfgsc.at[0, C_LAM].set(jnp.asarray(lam, f32))
+    cfgsc = cfgsc.at[0, C_DELTA].set(jnp.asarray(delta, f32))
+    cfgsc = cfgsc.at[0, C_GNORM].set(jnp.asarray(gradnorm, f32))
+    cfgsc = cfgsc.at[0, C_RMIN].set(float(cfg.rdotr_min))
+
+    def qmul_csr(Wt):
+        W = mf.flatten(from_t(Wt, n, o))
+        CW = 2.0 * qmul(W)
+        return to_t(mf.unflatten(CW))
+
+    vRt, vs_t, hvRt, hvs_t, sc = _tcg_loop(
+        qmul_csr, Rt, s_ex_t, sfree, inv_s2, egs_t, Segrt, CsRt, minvRt,
+        inv_ms, pgRt, pgs_t, zRt, zs_t, sc0, cfgsc, o=o,
+        max_inner=int(cfg.max_inner), interpret=interpret)
+
+    vR = from_t(vRt, n, o).astype(R.dtype)
+    vs = unpack_s(vs_t, n).astype(R.dtype)
+    hvR = from_t(hvRt, n, o).astype(R.dtype)
+    hvs = unpack_s(hvs_t, n).astype(R.dtype)
+    endreason = sc[0, S_ER].astype(jnp.int32)
+    iters = sc[0, S_I].astype(jnp.int32)
+    return vR, vs, hvR, hvs, endreason, iters

@@ -198,6 +198,9 @@ class TRResult(NamedTuple):
     total_inner: jax.Array
     done_reason: jax.Array
     hist: "jax.Array | None" = None
+    # final trust radius — the natural warm start (``delta0``) for a polish
+    # stage continuing from this iterate
+    delta: "jax.Array | None" = None
 
 
 _ER_NAMES = {ER_NEGCURV: "negcurv", ER_BOUNDARY: "boundary",
@@ -239,7 +242,19 @@ def _inner_tcg(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta, lam,
     M-norms, ``rdotz`` replaces ``rdotr`` in alpha/beta); the residual-floor
     and superlinear stops still test the true residual norm.  With
     ``minv=None`` the code path is exactly the reference's.
+
+    f32 carries on a TPU backend route through the fused Pallas body
+    (``ops.pallas_tcg``): one kernel per inner iteration instead of the
+    ~30-op VPU chain — same recurrences, reduction order differs in
+    low-order f32 bits (trajectory-level only; certified optima are the
+    semantics, CLAUDE.md).  ``XMTPU_PALLAS_TCG=off`` restores this path.
     """
+    from xmtpu.ops import pallas_tcg
+
+    if minv is not None and pallas_tcg.tcg_available(R.dtype):
+        return pallas_tcg.inner_tcg_fused(qmul, R, s_ex, CsR, egR, egs,
+                                          pgR, pgs, gradnorm, delta, lam,
+                                          cfg, minv)
     s = s_ex[1:]
     # sym(R egR^T) is constant across the inner loop (R, egR fixed per outer
     # iteration) — hoist it out of every ehess2rhess call in the body
@@ -562,9 +577,18 @@ def _run_chunk(Q, st: TRState, lam, gradtol, delta_bar, cfg: TRConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
+def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig,
+                delta0=None) -> TRState:
     """Initial TR state, fully on device (host-side eager ops cost ~20 ms
-    each on remote-dispatch platforms)."""
+    each on remote-dispatch platforms).
+
+    ``delta0``: initial trust radius (traced; default ``delta_bar / 8``,
+    the reference's restart, trustregion.h:115).  A POLISH stage restarting
+    from a near-converged iterate should pass a small radius — the default
+    is orders above the relevant step scale there, and every outer
+    iteration until the radius collapses down is a rejected full-cost
+    step (measured on the n=1934 testbed: the tol-1e-3 polish spends most
+    of its 60 outers in reject/collapse churn)."""
     qmul = as_qop(Q).apply
     sR0 = mf.flatten(mf.scale_blocks(R0, s_ex0))
     QsR0 = mf.unflatten(2.0 * qmul(sR0))
@@ -572,7 +596,9 @@ def _init_state(Q, R0, s_ex0, lam, delta_bar, cfg: TRConfig) -> TRState:
     loss0 = (0.5 * jnp.vdot(mf.flatten(QsR0), sR0)
              + lam * jnp.sum((s0 * s0 - 1.0) ** 2))
     return TRState(
-        R=R0, s_ex=s_ex0, loss=loss0, QsR=QsR0, delta=delta_bar / 8.0,
+        R=R0, s_ex=s_ex0, loss=loss0, QsR=QsR0,
+        delta=delta_bar / 8.0 if delta0 is None else jnp.asarray(
+            delta0, R0.dtype),
         shrink_count=jnp.zeros((), jnp.int32),
         endreason=jnp.asarray(ER_MAX_INNER, jnp.int32),
         k=jnp.zeros((), jnp.int32),
@@ -633,7 +659,7 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                        cfg: TRConfig = TRConfig(), dtype=None,
                        Q32=None, checkpoint_path: "str | None" = None,
                        ckpt_meta: "dict | None" = None,
-                       verbose: int = 0) -> TRResult:
+                       verbose: int = 0, delta0=None) -> TRResult:
     """Solve ``min <sR, Q sR> + lam sum((s^2-1)^2)`` over the product manifold.
 
     Drop-in semantic equivalent of ``XMtrustregion`` (trustregion.h:77).
@@ -678,7 +704,7 @@ def trust_region_solve(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,
                             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                             jnp.asarray(DONE_LINESEARCH_FAIL, jnp.int32))
 
-    st = _init_state(Q, R_cur, s_cur, lam, delta_bar_j, cfg)
+    st = _init_state(Q, R_cur, s_cur, lam, delta_bar_j, cfg, delta0)
 
     Q32_inner = None
     if cfg.inner_f32 and dtype == jnp.float64:
@@ -746,7 +772,7 @@ def continue_chunks(Q, st: TRState, lam, gradtol, delta_bar_j,
         done_reason = jnp.asarray(DONE_MAX_OUTER, jnp.int32)
 
     return TRResult(st.R, st.s_ex, st.loss, st.gradnorm, st.k,
-                    st.total_inner, done_reason, st.hist)
+                    st.total_inner, done_reason, st.hist, st.delta)
 
 
 def trust_region_solve_mixed(Q, R0, s_ex0, lam=0.0, gradtol=1e-6,

@@ -44,10 +44,17 @@ def _stage_inputs(C, R, s_ex, lam=0.0):
 
 
 @pytest.mark.parametrize("o", [3, 5])
-def test_fused_matches_xla_inner_loop(o):
+@pytest.mark.parametrize("dense_in_kernel", [True, False])
+def test_fused_matches_xla_inner_loop(o, dense_in_kernel):
+    """Covers BOTH kernel variants: dense-in-kernel (qmul is a DenseQ bound
+    method -> the MXU GEMM runs inside the kernel) and the two-program path
+    (plain callable qmul -> XLA GEMM + kernel)."""
     C, R, s_ex = _problem(n=12, o=o, seed=3)
     lam = jnp.asarray(0.0, jnp.float32)
     qmul, CsR, egR, egs, pgR, pgs, gradnorm, minv = _stage_inputs(C, R, s_ex)
+    if dense_in_kernel:
+        from xmtpu.ops.qop import DenseQ
+        qmul = DenseQ(C).apply
     delta = jnp.asarray(1.0, jnp.float32)
     cfg = tr.TRConfig.for_dtype(jnp.float32, max_inner=25)
 

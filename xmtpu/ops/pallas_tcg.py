@@ -100,9 +100,47 @@ def _tcg_kernel(Rt, s_ex, sfree, inv_s2, egs, Segrt, CsRt, minvRt, inv_ms,
                 vR_o, vs_o, rR_o, rs_o, pR_o, ps_o, hvR_o, hvs_o, sc_o,
                 *, o):
     """One fused tCG iteration.  All array refs f32 VMEM; sc/cfgsc SMEM."""
+    CW = _rows(CWt[:], o)
+    _tcg_body(CW, Rt, s_ex, sfree, inv_s2, egs, Segrt, CsRt, minvRt,
+              inv_ms, vR, vs, rR, rs, pR, ps, hvR, hvs, sc, cfgsc,
+              vR_o, vs_o, rR_o, rs_o, pR_o, ps_o, hvR_o, hvs_o, sc_o, o=o)
+
+
+def _tcg_kernel_dense(Cp, Rt, s_ex, sfree, inv_s2, egs, Segrt, CsRt,
+                      minvRt, inv_ms, vR, vs, rR, rs, pR, ps, hvR, hvs, sc,
+                      cfgsc, vR_o, vs_o, rR_o, rs_o, pR_o, ps_o, hvR_o,
+                      hvs_o, sc_o, *, o):
+    """All-in-one variant for small dense problems (Np <= 512): the operator
+    GEMM runs on the MXU INSIDE the kernel, so a whole inner iteration is
+    ONE program — no per-iteration XLA launches at all.  ``Cp`` is the
+    (9*Np, Np) permuted cost matrix ``Cp[(k*3+k')*Np + i', i] =
+    2*C[3i+k, 3i'+k']`` (the factor 2 of the Hessian apply folded in)."""
+    Np = Rt.shape[1]
+    sex = s_ex[:]
+    su = ps[:]
+    # W rows (k', j) in (o, Np) blocks, then CW[k] = sum_k' W[k'] @ CpT
+    Wb = [pR[k * o:(k + 1) * o, :] * sex + Rt[k * o:(k + 1) * o, :] * su
+          for k in range(3)]
+    CW = []
+    for k in range(3):
+        acc = None
+        for kp in range(3):
+            Cblk = Cp[(k * 3 + kp) * Np:(k * 3 + kp + 1) * Np, :]
+            t = jnp.dot(Wb[kp], Cblk, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            acc = t if acc is None else acc + t
+        CW.append(acc)                          # (o, Np)
+    CW_rows = [[CW[k][j][None, :] for j in range(o)] for k in range(3)]
+    _tcg_body(CW_rows, Rt, s_ex, sfree, inv_s2, egs, Segrt, CsRt, minvRt,
+              inv_ms, vR, vs, rR, rs, pR, ps, hvR, hvs, sc, cfgsc,
+              vR_o, vs_o, rR_o, rs_o, pR_o, ps_o, hvR_o, hvs_o, sc_o, o=o)
+
+
+def _tcg_body(CW, Rt, s_ex, sfree, inv_s2, egs, Segrt, CsRt, minvRt,
+              inv_ms, vR, vs, rR, rs, pR, ps, hvR, hvs, sc, cfgsc,
+              vR_o, vs_o, rR_o, rs_o, pR_o, ps_o, hvR_o, hvs_o, sc_o, *, o):
     R = _rows(Rt[:], o)
     p = _rows(pR[:], o)
-    CW = _rows(CWt[:], o)
     CsR = _rows(CsRt[:], o)
     Seg = [[Segrt[k * 3 + l][None, :] for l in range(3)] for k in range(3)]
     Mv = [[minvRt[k * 3 + l][None, :] for l in range(3)] for k in range(3)]
@@ -241,24 +279,37 @@ def unpack_s(xs, n):
 
 def _tcg_loop(qmul_csr, Rt, s_ex_t, sfree, inv_s2, egs_t, Segrt, CsRt,
               minvRt, inv_ms, pgRt, pgs_t, zRt, zs_t, sc0, cfgsc,
-              o: int, max_inner: int, interpret: bool):
+              o: int, max_inner: int, interpret: bool, Cperm=None):
     """The full Steihaug loop in transposed layout: per iteration one XLA
-    GEMM (through ``qmul_csr``) and one fused Pallas kernel.  Traced inside
-    the caller's jit (``trust_region._run_chunk``); not jitted itself."""
+    GEMM (through ``qmul_csr``) and one fused Pallas kernel — or, with
+    ``Cperm`` (small dense problems), ONE all-in-one kernel with the GEMM
+    on the MXU inside.  Traced inside the caller's jit
+    (``trust_region._run_chunk``); not jitted itself."""
     shape = Rt.shape
     Np = shape[1]
     blk = jax.ShapeDtypeStruct(shape, jnp.float32)
     row = jax.ShapeDtypeStruct((1, Np), jnp.float32)
+    outsh = [blk, row, blk, row, blk, row, blk, row,
+             jax.ShapeDtypeStruct((1, NS), jnp.float32)]
 
     def body(c):
         (vR, vs, rR, rs, pR, ps, hvR, hvs, sc) = c
+        if Cperm is not None:
+            outs = pl.pallas_call(
+                partial(_tcg_kernel_dense, o=o),
+                out_shape=outsh,
+                in_specs=[_vspec()] * 18 + [_sspec(), _sspec()],
+                out_specs=[_vspec()] * 8 + [_sspec()],
+                interpret=interpret,
+            )(Cperm, Rt, s_ex_t, sfree, inv_s2, egs_t, Segrt, CsRt,
+              minvRt, inv_ms, vR, vs, rR, rs, pR, ps, hvR, hvs, sc, cfgsc)
+            return tuple(outs)
         # W = p_R .* s_ex + R .* su_ex  (transposed layout, XLA fuses)
         W = pR * s_ex_t + Rt * ps
         CWt = qmul_csr(W)
         outs = pl.pallas_call(
             partial(_tcg_kernel, o=o),
-            out_shape=[blk, row, blk, row, blk, row, blk, row,
-                       jax.ShapeDtypeStruct((1, NS), jnp.float32)],
+            out_shape=outsh,
             in_specs=[_vspec()] * 18 + [_sspec(), _sspec()],
             out_specs=[_vspec()] * 8 + [_sspec()],
             interpret=interpret,
@@ -360,10 +411,23 @@ def inner_tcg_fused(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta,
         CW = 2.0 * qmul(W)
         return to_t(mf.unflatten(CW))
 
+    # small dense problems: fold the operator GEMM into the kernel (MXU),
+    # making the whole inner iteration ONE program.  qmul is DenseQ.apply
+    # (a bound method) on those paths; the VMEM budget gates the variant
+    # (9 Np^2 f32 for the permuted C: 2.4 MB at Np=256, 9.4 MB at 512).
+    Cperm = None
+    qop = getattr(qmul, "__self__", None)
+    Cmat = getattr(qop, "C", None) if qop is not None else None
+    if Cmat is not None and Np <= 512 and Cmat.shape == (3 * n, 3 * n):
+        C4 = (2.0 * Cmat.astype(f32)).reshape(n, 3, n, 3)
+        Cperm = jnp.pad(jnp.transpose(C4, (1, 3, 2, 0)),   # (k, k', i', i)
+                        ((0, 0), (0, 0), (0, Np - n), (0, Np - n)))
+        Cperm = Cperm.reshape(9 * Np, Np)
+
     vRt, vs_t, hvRt, hvs_t, sc = _tcg_loop(
         qmul_csr, Rt, s_ex_t, sfree, inv_s2, egs_t, Segrt, CsRt, minvRt,
         inv_ms, pgRt, pgs_t, zRt, zs_t, sc0, cfgsc, o=o,
-        max_inner=int(cfg.max_inner), interpret=interpret)
+        max_inner=int(cfg.max_inner), interpret=interpret, Cperm=Cperm)
 
     vR = from_t(vRt, n, o).astype(R.dtype)
     vs = unpack_s(vs_t, n).astype(R.dtype)

@@ -135,7 +135,15 @@ def _stage_certify_fused(C, R0, s_ex0, lam, gradtol, gradtol32, delta_bar,
             R1 = mf.mgs_rows(st32.R.astype(jnp.float64))
             s1 = st32.s_ex.astype(jnp.float64).at[0].set(1.0)
 
-        st = tr._init_state(C, R1, s1, lam, delta_bar, cfg)
+        # polish warm-start radius: the f32 phase's final (collapsed)
+        # radius is the right step scale for the near-converged f64 phase —
+        # delta_bar/8 is orders too big there and burns outers in
+        # reject/collapse churn (floored so a hard f32 collapse cannot
+        # stall the f64 start)
+        delta0 = (jnp.maximum(st32.delta.astype(jnp.float64),
+                              delta_bar * 1e-3)
+                  if cfg32 is not None else None)
+        st = tr._init_state(C, R1, s1, lam, delta_bar, cfg, delta0)
         st = tr._run_chunk(C, st, lam, gradtol, delta_bar, cfg, kmax,
                            C32 if inner32 else None)
         return st, st32

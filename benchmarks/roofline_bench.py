@@ -26,21 +26,49 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_enable_x64", True)   # BEFORE any array creation:
+# without it the "f64" rows silently run f32 (first run of this script)
+
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
 
+_FETCH_S = None
 
-def timeit(fn, *args, reps=5):
-    fn(*args)  # compile
-    jax.device_get(jax.tree_util.tree_leaves(fn(*args))[0].ravel()[:1])
+
+def _fetch_cost():
+    """A scalar device fetch costs ~20-40 ms on the remote tunnel and would
+    swamp per-op timings; measure it once and batch ops per fetch."""
+    global _FETCH_S
+    if _FETCH_S is None:
+        x = jnp.zeros((1,), jnp.float32)
+        jax.device_get(x)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.device_get(x)
+            ts.append(time.perf_counter() - t0)
+        _FETCH_S = float(np.median(ts))
+        print(f"(scalar fetch latency: {_FETCH_S*1e3:.1f} ms — batched out"
+              f" of all timings below)")
+    return _FETCH_S
+
+
+def timeit(fn, *args, reps=20):
+    """Median per-op time: enqueue ``reps`` calls, force ONE fetch at the
+    end (in-order stream => all reps executed), subtract the fetch."""
+    fetch = _fetch_cost()
+    out = fn(*args)  # compile
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
     ts = []
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(reps):
+            out = fn(*args)
         jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-        ts.append(time.perf_counter() - t0)
+        ts.append((time.perf_counter() - t0 - fetch) / reps)
     return float(np.median(ts))
 
 
@@ -67,11 +95,11 @@ def main():
           f"(emulated; {peak_f32/peak_f64:.0f}x below f32)")
 
     big = jnp.ones((1 << 28,), jnp.float32)          # 1 GiB
-    red = jax.jit(lambda x: jnp.sum(x))
-    t = timeit(red, big)
-    bw = big.nbytes / t
+    axpy = jax.jit(lambda x: x + 1.0)
+    t = timeit(axpy, big, reps=10)
+    bw = 2 * big.nbytes / t                           # read + write
     out["hbm_read_gbps"] = bw / 1e9
-    print(f"HBM read (1 GiB f32 sum): {t*1e3:.2f} ms -> {bw/1e9:.0f} GB/s")
+    print(f"HBM stream (1 GiB f32 axpy): {t*1e3:.2f} ms -> {bw/1e9:.0f} GB/s")
 
     # ---- hot op at the n=1934 testbed shape -------------------------------
     for n, o in ((1934, 5), (1934, 3)):
@@ -119,7 +147,8 @@ def main():
         # is O(E * o * 9 * ~4) gathers/einsums/segsums
         useful = 2 * (N - 1) ** 2 * 3 + E * 3 * 9 * 4
         bytes_rd = (N - 1) ** 2 * 8 + E * (9 + 1 + 1) * 8 * 2
-        roof_t = bytes_rd / bw
+        padded = 2 * (N - 1) ** 2 * 128          # VT_inv GEMM lane padding
+        roof_t = max(bytes_rd / bw, padded / peak_f64)
         out["schurq_matvec_n6144"] = {
             "ms": t * 1e3, "useful_gflops": useful / t / 1e9,
             "mfu_vs_f64_peak": useful / t / peak_f64,

@@ -78,15 +78,23 @@ def build_q(long_range):
 
 
 def stepped_f64(Q, R0, s0, gradtol, ck_path, step=1, max_inner=64,
-                max_outer=3000, history=32):
+                max_outer=3000, history=32, Q32=None):
     """Plain-f64 TR, ``step`` outer iterations per device program.
 
     ``kmax`` and ``gradtol`` are traced, so every program replay (including
     a later rerun at a tighter tolerance) reuses ONE cached executable; the
     full TRState checkpoints to ``ck_path`` after every program so a worker
     kill or session cutoff resumes mid-stage.
+
+    ``Q32``: optional plain-f32 cast for the tCG inner Hessian applies
+    (``--inner-f32``).  The exact-f64 implicit matvec is ~176 ms at this
+    size and the polish is inner-iteration dominated — the f32 inner apply
+    is ~an order cheaper.  This is a PLAIN dual-operator program (f64 +
+    f32 casts of the same arrays), not the two-float mixed-edge program
+    that blocked the remote compiler in rounds 2-3.
     """
-    cfg = tr.TRConfig(max_inner=max_inner, history=history)
+    cfg = tr.TRConfig(max_inner=max_inner, history=history,
+                      inner_f32=Q32 is not None)
     lam = jnp.asarray(0.0, jnp.float64)
     gradtol_j = jnp.asarray(gradtol, jnp.float64)
     dim = N * (3 * 3 - 6) + N - 1
@@ -105,7 +113,7 @@ def stepped_f64(Q, R0, s0, gradtol, ck_path, step=1, max_inner=64,
     t0 = time.perf_counter()
     while k < max_outer:
         st = tr._run_chunk(Q, st, lam, gradtol_j, delta_bar, cfg,
-                           jnp.asarray(k + step, jnp.int32))
+                           jnp.asarray(k + step, jnp.int32), Q32)
         k_, done, gn, loss, ti = jax.device_get(
             (st.k, st.done, st.gradnorm, st.loss, st.total_inner))
         k = int(k_)
@@ -130,7 +138,8 @@ def campaign(args):
     long_range = 0 if args.ring else 4
     f32_npz = f"{STATE}/{tag}_f32_done.npz"
     f32_ck = f"{STATE}/{tag}_f32_mid.npz"
-    pol_ck = f"{STATE}/{tag}_polish_mid.npz"
+    pol_ck = (f"{STATE}/{tag}_polish_i32_mid.npz" if args.inner_f32
+              else f"{STATE}/{tag}_polish_mid.npz")
     if args.fresh:
         for p in (f32_npz, f32_ck, pol_ck):
             if os.path.exists(p):
@@ -192,8 +201,9 @@ def campaign(args):
             R1 = mf.identity_frames(N, 3)
             s1 = jnp.ones((N,), jnp.float64)
             log("polish: COLD start (no f32 iterate found)")
+        Q32p = cast_qop(Q, jnp.float32) if args.inner_f32 else None
         res, t_polish = stepped_f64(Q, R1, s1, args.tol, pol_ck,
-                                    step=args.step)
+                                    step=args.step, Q32=Q32p)
 
     # ---- certificate on the exact f64 operator ----------------------------
     if "cert" in phases:
@@ -212,6 +222,8 @@ def campaign(args):
             outer=int(res.outer_iters), inner=int(res.total_inner))
         import json
         log("SUMMARY " + json.dumps(summary))
+        with open(f"{STATE}/summary.json", "w") as f:
+            json.dump(summary, f)
 
 
 def legacy(argv):
@@ -274,6 +286,9 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-1)
     ap.add_argument("--step", type=int, default=2,
                     help="outer iterations per f64 polish device program")
+    ap.add_argument("--inner-f32", action="store_true",
+                    help="f32 tCG inner Hessian applies in the f64 polish "
+                         "(plain dual-operator program)")
     ap.add_argument("--ring", action="store_true",
                     help="round-2/3 adversarial ring scene (long_range=0)")
     ap.add_argument("--fresh", action="store_true",

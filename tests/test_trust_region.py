@@ -300,3 +300,39 @@ def test_collapse_accept_coincidence_not_premature_stop():
                                  gradtol=1e-5, cfg=cfg2, dtype=jnp.float32)
     assert float(res2.primal) >= float(res.primal) - 1e-3 * abs(
         float(res.primal)) - 1e-5
+
+
+def test_delta0_warm_start_radius():
+    """``delta0`` sets the initial trust radius (traced — no recompile per
+    value) and a warm-started polish reaches the same certified optimum;
+    ``TRResult.delta`` exposes the final radius for chaining stages."""
+    import jax.numpy as jnp
+
+    from xmtpu.ops import manifold as mf
+    from xmtpu.solver import trust_region as tr
+
+    scene = make_scene(n_cameras=10, n_points=50, obs_per_camera=25,
+                       noise=1e-4, seed=5)
+    C, _ = create_matrix_arrays(scene.weights, scene.edges, scene.landmarks)
+    C = jnp.asarray(C)
+    n = C.shape[0] // 3
+    R0 = mf.identity_frames(n, 3)
+    s0 = jnp.ones((n,), jnp.float64)
+
+    res1 = tr.trust_region_solve(C, R0, s0, 0.0, 1e-2)
+    assert res1.delta is not None and float(res1.delta) > 0
+
+    # continue to a tighter tol from the iterate, radius warm-started
+    res2 = tr.trust_region_solve(C, res1.R, res1.s_ex, 0.0, 1e-8,
+                                 delta0=res1.delta)
+    ref = tr.trust_region_solve(C, res1.R, res1.s_ex, 0.0, 1e-8)
+    # both end at a converged stop (gradtol, or the tCG residual machine
+    # floor that the reference also treats as terminal)
+    assert int(res2.done_reason) in (tr.DONE_GRADTOL, tr.DONE_RDOTR_SMALL)
+    np.testing.assert_allclose(float(res2.primal), float(ref.primal),
+                               rtol=1e-9, atol=1e-12)
+    # tiny delta0 still converges (radius regrows on accepted steps)
+    res3 = tr.trust_region_solve(C, res1.R, res1.s_ex, 0.0, 1e-8,
+                                 delta0=1e-6)
+    np.testing.assert_allclose(float(res3.primal), float(ref.primal),
+                               rtol=1e-9, atol=1e-12)

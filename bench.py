@@ -55,10 +55,11 @@ def main():
         res = solve_arrays(Q, **kw)
     assert res.certified, "SIMPLE1 must certify at rank 3"
 
-    # median of 5: the remote tunnel's dispatch latency fluctuates run to
-    # run (observed 189-272 ms for the identical program on 3-run medians)
+    # median of 9: the remote tunnel's dispatch latency fluctuates run to
+    # run (observed 136-155 ms across whole-process runs of the identical
+    # cached program at 5-rep medians; 9 reps tightens the estimate)
     times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         res = solve_arrays(Q, **kw)
         times.append((time.perf_counter() - t0) * 1e3)

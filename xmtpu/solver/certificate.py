@@ -908,8 +908,17 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
     Cholesky probe.  ``info`` records the deciding branch (see
     ``CertificateResult.info``)."""
     n = sR.shape[0] // 3
+    # Prelude length: every Lanczos iteration is an exact-operator matvec.
+    # Its outputs (lam_min estimate / lower bound, the probe's v0 and
+    # deflation direction) saturate early, and the deflated CG probe is the
+    # sound decider whenever the bound branch is inconclusive — measured at
+    # n=1934: prelude 48 -> 24 leaves the decision path and probe iteration
+    # count IDENTICAL while cutting certificate wall ~25% (the prelude was
+    # most of it).  Keep the long prelude where matvecs are cheap.
+    lanczos_iters = 48 if sR.shape[0] <= 4096 else 24
     lam_min, v, gap, dual, resid, lam_U, delta_min = _certify_core_matvec(
-        Q, sR, lam, primal, v0=v0, has_v0=v0 is not None)
+        Q, sR, lam, primal, v0=v0, has_v0=v0 is not None,
+        lanczos_iters=lanczos_iters)
     (lam_min_v, gap_v, resid_v, dual_v, primal_v, delta_min_v) = (
         float(x) for x in jax.device_get(
             (lam_min, gap, resid, dual, primal, delta_min)))

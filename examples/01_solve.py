@@ -6,6 +6,10 @@ is staged into a local working directory first (the reference assets mount
 is read-only).
 """
 
+# run directly from anywhere: the repo root is not on sys.path when the
+# script dir is examples/ (python examples/01_....py)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import shutil
 import sys

@@ -5,6 +5,10 @@ Flow: load observations -> dedupe edges -> clean/anchor/largest-component ->
 assemble (C, Abar) -> staircase solve -> recover poses -> accuracy vs GT.
 """
 
+# run directly from anywhere: the repo root is not on sys.path when the
+# script dir is examples/ (python examples/01_....py)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

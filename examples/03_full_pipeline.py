@@ -9,6 +9,10 @@ With no arguments a synthetic scene stands in for the front end (the GLOMAP
 gtest pattern) so the full solver-side pipeline runs self-contained.
 """
 
+# run directly from anywhere: the repo root is not on sys.path when the
+# script dir is examples/ (python examples/01_....py)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -6,6 +6,10 @@ pairwise relative poses, solve with XM^2, then refine poses/points against
 the normalized 2-D reprojections.
 """
 
+# run directly from anywhere: the repo root is not on sys.path when the
+# script dir is examples/ (python examples/01_....py)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 from xmtpu.pipeline.refine import refine_bundle

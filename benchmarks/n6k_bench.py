@@ -65,15 +65,19 @@ def log(msg):
 T0 = time.perf_counter()
 
 
-def build_q(long_range):
+def build_q(long_range, pallas_seg=True):
     scene = make_scene_window(N, M, obs_per_camera=K, noise=1e-3, seed=0,
                               long_range=long_range)
     t0 = time.perf_counter()
     Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks,
                      vt_build="ns")
+    if pallas_seg:
+        # f32 applies (the f32 phase, inner-f32 polish) run their segment
+        # sums through the Pallas kernel; exact f64 applies untouched
+        Q = Q.with_pallas()
     jax.device_get(Q.VT_inv[0, 0])
     log(f"build (ns ladder): {time.perf_counter() - t0:8.2f} s  "
-        f"(E={scene.edges.shape[0]})")
+        f"(E={scene.edges.shape[0]}, band_l={Q.band_l} band_f={Q.band_f})")
     return Q
 
 
@@ -149,7 +153,7 @@ def campaign(args):
               else (args.phase,))
     log(f"backend={jax.default_backend()}  n={N} m={M} obs/cam={K} "
         f"long_range={long_range}  phases={phases}")
-    Q = build_q(long_range)
+    Q = build_q(long_range, pallas_seg=not args.no_pallas_seg)
     if "build" == phases[0] and len(phases) == 1:
         return
 
@@ -293,6 +297,8 @@ def main():
                     help="round-2/3 adversarial ring scene (long_range=0)")
     ap.add_argument("--fresh", action="store_true",
                     help="discard on-disk phase checkpoints")
+    ap.add_argument("--no-pallas-seg", action="store_true",
+                    help="keep XLA segment sums in the f32 applies")
     campaign(ap.parse_args())
 
 

@@ -355,3 +355,33 @@ def test_pad_cameras_operator_equivalence(problem):
     outm = np.asarray(Qm.apply(Y))
     outmp = np.asarray(Qmp.apply(Yp))
     np.testing.assert_allclose(outmp[: 3 * n], outm, rtol=1e-12, atol=1e-12)
+
+
+def test_with_pallas_f32_apply_matches_xla():
+    """SchurQ.with_pallas routes F32 applies' segment sums through the
+    Pallas kernel (interpret mode here); f64 applies are bit-identical to
+    the plain operator (the kernel only engages for f32)."""
+    import jax.numpy as jnp
+
+    from xmtpu.ops.qop import cast_qop
+    from xmtpu.pipeline.synthetic import make_scene
+
+    scene = make_scene(n_cameras=14, n_points=60, obs_per_camera=25,
+                       noise=1e-3, seed=3)
+    Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    Qp = Q.with_pallas(interpret=True)
+    assert Qp.band_l > 0 and Qp.band_f > 0
+
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.normal(size=(3 * Q.n_cameras, 3)))
+    # f64: kernel must NOT engage — bitwise identical
+    np.testing.assert_array_equal(np.asarray(Qp.apply(Y)),
+                                  np.asarray(Q.apply(Y)))
+    # f32 cast inherits the bands (static aux survives cast_qop)
+    Q32 = cast_qop(Q, jnp.float32)
+    Q32p = cast_qop(Qp, jnp.float32)
+    assert Q32p.band_l == Qp.band_l
+    y32 = np.asarray(Q32.apply(Y.astype(jnp.float32)))
+    y32p = np.asarray(Q32p.apply(Y.astype(jnp.float32)))
+    scale = np.abs(y32).max()
+    np.testing.assert_allclose(y32p, y32, atol=1e-5 * scale)

@@ -117,16 +117,58 @@ class SchurQ(QOperator):
     # VT_inv build residual would invalidate the certificate's Delta-bound
     # acceptance (ADVICE r3) and by sub-f64 casts (qop.cast_qop).
     psd_ok: bool = True
+    # static (pytree aux): Pallas sorted-segment-sum bands per ordering for
+    # F32 applies (0 = XLA segment_sum; see with_pallas()).  f64 applies
+    # always stay on the XLA path — this platform rejects f64 Pallas — so
+    # an f64 operator with bands set is harmless and its f32 cast
+    # (cast_qop preserves static aux) picks the kernel up automatically.
+    band_l: int = 0
+    band_f: int = 0
+    seg_interpret: bool = False
 
     def tree_flatten(self):
         return ((self.Q1, self.V1, self.f_l, self.l_l, self.wx_l, self.cf_l,
                  self.f_f, self.l_f, self.wx_f, self.cf_f, self.bounds_l,
                  self.bounds_f, self.inv_q3, self.inv_sqrt_q3, self.VT_inv),
-                (self.psd_ok,))
+                (self.psd_ok, self.band_l, self.band_f, self.seg_interpret))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *(aux or (True,)))
+        return cls(*children, *(aux or (True, 0, 0, False)))
+
+    def with_pallas(self, interpret: "bool | None" = None) -> "SchurQ":
+        """Route F32 applies' segment reductions through the Pallas sorted-
+        segment-sum kernel (measured 1.7x over XLA scatter on the f32 edge
+        path at n=1934).  The exact f64 applies are untouched; the intended
+        use is ``Q = SchurQ.build(...).with_pallas()`` so every f32 cast
+        derived from ``Q`` (the ladder's f32 phase, ``inner_f32`` tCG
+        applies) inherits the kernel.  Not for mesh-sharded operators (the
+        kernel does not auto-partition; ``shard_schurq`` clears bands)."""
+        import dataclasses
+
+        from xmtpu.ops.pallas_segsum import max_band
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return dataclasses.replace(
+            self, band_l=int(max_band(np.asarray(self.l_l))),
+            band_f=int(max_band(np.asarray(self.f_f))),
+            seg_interpret=bool(interpret))
+
+    def _seg(self, vals, ids, bounds, num, band):
+        """Sorted segment sum: Pallas kernel for f32 when a band is set,
+        XLA ``segment_sum`` otherwise (f64 always; sharded always)."""
+        if band and vals.dtype == jnp.float32:
+            from xmtpu.ops.pallas_segsum import sorted_segment_sum
+
+            shape = vals.shape
+            d = 1
+            for s in shape[1:]:
+                d *= s
+            out = sorted_segment_sum(vals.reshape(shape[0], d), ids, num,
+                                     band, interpret=self.seg_interpret)
+            return out.reshape((num,) + shape[1:])
+        return _seg_sum_bounds(vals, ids, bounds, num)
 
     @staticmethod
     def build(weights, edges, landmarks,
@@ -233,8 +275,8 @@ class SchurQ(QOperator):
         """``Vtp_bar^T Y``: (n,3,o) -> (b_A (n-1,o), b_B (m,o))."""
         b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
         gathered = jnp.einsum("ea,eao->eo", self.wx_l, Yb[self.f_l])
-        b_B = -_seg_sum_bounds(gathered, self.l_l, self.bounds_l,
-                               self.n_landmarks)
+        b_B = -self._seg(gathered, self.l_l, self.bounds_l,
+                         self.n_landmarks, self.band_l)
         return b_A, b_B
 
     def _vtp(self, z_A, z_B):
@@ -242,20 +284,21 @@ class SchurQ(QOperator):
         z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
         out = jnp.einsum("na,no->nao", self.V1, z_t)
         contrib = jnp.einsum("ea,eo->eao", self.wx_f, z_B[self.l_f])
-        return out - _seg_sum_bounds(contrib, self.f_f, self.bounds_f,
-                                     self.n_cameras)
+        return out - self._seg(contrib, self.f_f, self.bounds_f,
+                               self.n_cameras, self.band_f)
 
     def _v3f(self, z_B):
         """``V3F z_B``: (m, o) -> (n-1, o)."""
-        out = _seg_sum_bounds(self.cf_f[:, None] * z_B[self.l_f], self.f_f,
-                              self.bounds_f, self.n_cameras)
+        out = self._seg(self.cf_f[:, None] * z_B[self.l_f], self.f_f,
+                        self.bounds_f, self.n_cameras, self.band_f)
         return out[1:]
 
     def _v3fT(self, x_A):
         """``V3F^T x_A``: (n-1, o) -> (m, o)."""
         x_pad = jnp.concatenate([jnp.zeros_like(x_A[:1]), x_A], axis=0)
-        return _seg_sum_bounds(self.cf_l[:, None] * x_pad[self.f_l],
-                               self.l_l, self.bounds_l, self.n_landmarks)
+        return self._seg(self.cf_l[:, None] * x_pad[self.f_l],
+                         self.l_l, self.bounds_l, self.n_landmarks,
+                         self.band_l)
 
     def solve_M(self, b_A, b_B):
         """Exact solve of ``Mbar [x_A; x_B] = [b_A; b_B]``.

@@ -134,6 +134,10 @@ def shard_schurq(mesh: Mesh, Q, axis: str = "cam"):
     from xmtpu.ops.schurq import pad_cameras
 
     assert isinstance(Q, QOperator) and not hasattr(Q, "C")
+    if getattr(Q, "band_l", 0) or getattr(Q, "band_f", 0):
+        # the Pallas segment-sum kernel does not auto-partition over a
+        # mesh: sharded operators take the XLA segment_sum path
+        Q = replace(Q, band_l=0, band_f=0)
     n_dev_cam = mesh.devices.size
     n = Q.n_cameras
     if n % n_dev_cam:

@@ -128,7 +128,12 @@ def _scale_metric():
     n_cam = 1934
     scene = make_scene(n_cameras=n_cam, n_points=max(2000, 4 * n_cam),
                        obs_per_camera=60, noise=1e-3, seed=0)
+    # with_pallas: the f32 casts derived below (inner-f32 tCG applies) run
+    # their segment sums through the Pallas kernel; the exact f64 applies
+    # (outer iterations, certificate) are bit-identical to the plain build
     Q = SchurQ.build(scene.weights, scene.edges, scene.landmarks)
+    if jax.default_backend() == "tpu":
+        Q = Q.with_pallas()
     Q32 = cast_qop(Q, jnp.float32)
     R0 = mf.identity_frames(n_cam, 3)
     s0 = jnp.ones((n_cam,), jnp.float64)

@@ -102,9 +102,17 @@ def _assemble_operator(weights, edges, landmarks, verbose, implicit,
         if verbose:
             print(f"[xm2] operator: {'SchurQ (implicit)' if implicit else 'dense C'}")
     if implicit:
+        import jax
+
         from xmtpu.ops.schurq import SchurQ
 
-        return SchurQ.build(weights, edges, landmarks), None, True
+        Q = SchurQ.build(weights, edges, landmarks)
+        if jax.default_backend() == "tpu":
+            # f32 casts derived from this operator (the ladder's f32 phase,
+            # inner-f32 tCG applies) run their segment sums through the
+            # Pallas kernel; exact f64 applies are bit-identical
+            Q = Q.with_pallas()
+        return Q, None, True
     from xmtpu.ops.qop import DenseQ
 
     C, Abar = create_matrix_arrays(weights, edges, landmarks,

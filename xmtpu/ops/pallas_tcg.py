@@ -343,17 +343,27 @@ def _sspec():
 
 
 def tcg_available(dtype, backend: str | None = None) -> bool:
+    """Route this f32 inner iteration through the fused Pallas body?
+
+    Besides backend/dtype, gates on a SINGLE-device runtime: a bare
+    ``pl.pallas_call`` does not auto-partition under GSPMD, so multi-chip
+    solves (``solve_arrays_sharded`` carries sharded over a mesh) must keep
+    the plain jnp path — the same policy as ``shard_schurq`` clearing the
+    segment-sum kernel's bands (ADVICE r4).  ``XMTPU_PALLAS_TCG=on``
+    overrides the device-count gate for a multi-chip host running
+    single-device solves."""
     import os
 
-    if os.environ.get("XMTPU_PALLAS_TCG", "auto") == "off":
+    env = os.environ.get("XMTPU_PALLAS_TCG", "auto")
+    if env == "off":
         return False
     if dtype != jnp.float32:
         return False
     b = backend or jax.default_backend()
     if b == "tpu":
-        return True
+        return jax.device_count() == 1 or env == "on"
     # interpret mode: opt-in (tests); far too slow for production CPU
-    return os.environ.get("XMTPU_PALLAS_TCG") == "interpret"
+    return env == "interpret"
 
 
 def inner_tcg_fused(qmul, R, s_ex, CsR, egR, egs, pgR, pgs, gradnorm, delta,

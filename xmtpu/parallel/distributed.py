@@ -75,6 +75,13 @@ def distributed_dense_q(mesh: Mesh, load_rows, shape, axis: str = "cam",
     iterate (zero gradient), and the certificate's per-camera dual solves
     are ridge-floored so ``Z`` just gains exact zero eigenvalues — a
     ``lam_min > -bound`` decision (bound > 0) never flips.
+
+    RETURN CONTRACT (ADVICE r4): the returned array has PADDED shape
+    ``(3 n_pad, 3 n_pad)`` with ``n_pad = ceil(n / n_devices) * n_devices``
+    — solver outputs computed on it (R, s_ex, escape direction) carry
+    phantom rows the caller must slice back to ``n``.  Use
+    :func:`solve_arrays_distributed` for a staircase solve with the
+    trimming handled.
     """
     sharding = NamedSharding(mesh, P(axis, None))
     n_dev = mesh.devices.size
@@ -93,3 +100,18 @@ def distributed_dense_q(mesh: Mesh, load_rows, shape, axis: str = "cam",
         return out
 
     return jax.make_array_from_callback(pshape, sharding, cb)
+
+
+def solve_arrays_distributed(mesh: Mesh, load_rows, shape, axis: str = "cam",
+                             **kwargs):
+    """Certified staircase on a distributed row-slab-loaded dense C, with
+    phantom padding cameras sliced back off the solution (the multi-process
+    analog of ``parallel.mesh.solve_arrays_sharded``'s trim)."""
+    from xmtpu.solver.staircase import solve_arrays
+
+    n = shape[0] // 3
+    Cg = distributed_dense_q(mesh, load_rows, shape, axis)
+    res = solve_arrays(Cg, **kwargs)
+    if Cg.shape[0] != shape[0]:
+        res = res._replace(R=res.R[: 3 * n], s_ex=res.s_ex[:n])
+    return res

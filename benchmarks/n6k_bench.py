@@ -83,19 +83,23 @@ def build_q(long_range, pallas_seg=True):
 
 def stepped_f64(Q, R0, s0, gradtol, ck_path, step=1, max_inner=64,
                 max_outer=3000, history=32, Q32=None):
-    """Plain-f64 TR, ``step`` outer iterations per device program.
+    """Stepped TR polish, ``step`` outer iterations per device program.
 
     ``kmax`` and ``gradtol`` are traced, so every program replay (including
     a later rerun at a tighter tolerance) reuses ONE cached executable; the
     full TRState checkpoints to ``ck_path`` after every program so a worker
     kill or session cutoff resumes mid-stage.
 
+    ``Q`` may be the exact f64 operator (round-4 flow: ~176 ms/apply at
+    this size) or the round-5 fast-exact two-float ``SchurQTF`` (~25 ms) —
+    the caller recomputes the final primal through the exact operator
+    either way.
+
     ``Q32``: optional plain-f32 cast for the tCG inner Hessian applies
-    (``--inner-f32``).  The exact-f64 implicit matvec is ~176 ms at this
-    size and the polish is inner-iteration dominated — the f32 inner apply
-    is ~an order cheaper.  This is a PLAIN dual-operator program (f64 +
-    f32 casts of the same arrays), not the two-float mixed-edge program
-    that blocked the remote compiler in rounds 2-3.
+    (``--inner-f32``).  The polish is inner-iteration dominated — the f32
+    inner apply is ~an order cheaper.  This is a PLAIN dual-operator
+    program (two operators passed as arguments), not the round-2/3
+    hi/lo-inside-one-program form that blocked the remote compiler.
     """
     cfg = tr.TRConfig(max_inner=max_inner, history=history,
                       inner_f32=Q32 is not None)
@@ -142,8 +146,8 @@ def campaign(args):
     long_range = 0 if args.ring else 4
     f32_npz = f"{STATE}/{tag}_f32_done.npz"
     f32_ck = f"{STATE}/{tag}_f32_mid.npz"
-    pol_ck = (f"{STATE}/{tag}_polish_i32_mid.npz" if args.inner_f32
-              else f"{STATE}/{tag}_polish_mid.npz")
+    pol_tag = "_tf" if args.tf else ("_i32" if args.inner_f32 else "")
+    pol_ck = f"{STATE}/{tag}_polish{pol_tag}_mid.npz"
     if args.fresh:
         for p in (f32_npz, f32_ck, pol_ck):
             if os.path.exists(p):
@@ -205,15 +209,28 @@ def campaign(args):
             R1 = mf.identity_frames(N, 3)
             s1 = jnp.ones((N,), jnp.float64)
             log("polish: COLD start (no f32 iterate found)")
-        Q32p = cast_qop(Q, jnp.float32) if args.inner_f32 else None
-        res, t_polish = stepped_f64(Q, R1, s1, args.tol, pol_ck,
+        Q32p = cast_qop(Q, jnp.float32) if (args.inner_f32 or args.tf) \
+            else None
+        Qtf = Q.two_float() if args.tf else None
+        Qpol = Qtf if args.tf else Q
+        res, t_polish = stepped_f64(Qpol, R1, s1, args.tol, pol_ck,
                                     step=args.step, Q32=Q32p)
+        if args.tf:
+            # exact primal readout: the fast operator's absolute noise
+            # (~eta ||sR||^2) is visible against near-zero objectives and
+            # the certificate gap divides by the primal (one exact apply)
+            exact_p = mf.objective(Q.apply, res.R, res.s_ex,
+                                   jnp.asarray(0.0, jnp.float64))
+            res = res._replace(primal=exact_p)
+            log(f"polish exact primal: {float(exact_p):.6e}")
 
-    # ---- certificate on the exact f64 operator ----------------------------
+    # ---- certificate: exact-anchored decisions; per-iteration matvecs on
+    # ---- the fast two-float operator when --tf (round 5) ------------------
     if "cert" in phases:
         sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
         t0 = time.perf_counter()
-        cert = certify(Q, sR, 0.0, res.primal, verbose=True)
+        cert = certify(Q, sR, 0.0, res.primal, verbose=True,
+                       fast=(Qtf if args.tf else None))
         ok = bool(jax.device_get(cert.certified))
         t_cert = time.perf_counter() - t0
         log(f"certificate: {t_cert:.2f} s  certified={ok} "
@@ -222,7 +239,7 @@ def campaign(args):
             n=N, m=M, obs=K, long_range=long_range,
             polish_s=round(t_polish, 2), cert_s=round(t_cert, 2),
             certified=ok, primal=float(res.primal),
-            gradnorm=float(res.gradnorm), tol=args.tol,
+            gradnorm=float(res.gradnorm), tol=args.tol, tf=bool(args.tf),
             outer=int(res.outer_iters), inner=int(res.total_inner))
         import json
         log("SUMMARY " + json.dumps(summary))
@@ -293,6 +310,11 @@ def main():
     ap.add_argument("--inner-f32", action="store_true",
                     help="f32 tCG inner Hessian applies in the f64 polish "
                          "(plain dual-operator program)")
+    ap.add_argument("--tf", action="store_true",
+                    help="round-5 fast-exact path: polish outer ops on the "
+                         "two-float SchurQTF (+ f32 inner applies) and the "
+                         "certificate's per-iteration matvecs on it with "
+                         "exact-anchored decisions")
     ap.add_argument("--ring", action="store_true",
                     help="round-2/3 adversarial ring scene (long_range=0)")
     ap.add_argument("--fresh", action="store_true",

@@ -385,3 +385,100 @@ def test_with_pallas_f32_apply_matches_xla():
     y32p = np.asarray(Q32p.apply(Y.astype(jnp.float32)))
     scale = np.abs(y32).max()
     np.testing.assert_allclose(y32p, y32, atol=1e-5 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: fully two-float fast-exact operator (SchurQTF)
+# ---------------------------------------------------------------------------
+
+
+def test_two_float_apply_close_to_f64(problem):
+    """SchurQTF (two-float edges AND two-float VT GEMM) tracks the exact
+    operator to ~1e-6 relative — the documented fast-exact noise floor."""
+    scene, C, Abar, Q = problem
+    rng = np.random.default_rng(5)
+    Y = jnp.asarray(rng.normal(size=(C.shape[0], 3)))
+    ref = np.asarray(Q.apply(Y))
+    for pallas in (False, True):       # True = interpret-mode kernel on CPU
+        out = np.asarray(Q.two_float(pallas=pallas).apply(Y))
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 1e-5, (pallas, rel)
+
+
+def test_operator_error_estimate_sane(problem):
+    """The power-iteration error estimate upper-ends the per-apply error and
+    stays orders below the operator norm."""
+    from xmtpu.ops.schurq import operator_error_estimate
+
+    scene, C, Abar, Q = problem
+    Qtf = Q.two_float(pallas=False)
+    eta = operator_error_estimate(Q, Qtf)
+    norm_c = float(np.linalg.norm(np.asarray(C), 2))
+    assert 0.0 <= eta < 1e-4 * norm_c
+    # the estimate should be at least the error seen on one random vector
+    rng = np.random.default_rng(6)
+    v = rng.normal(size=(C.shape[0], 1))
+    v /= np.linalg.norm(v)
+    err = float(np.linalg.norm(
+        np.asarray(Qtf.apply(jnp.asarray(v))) - np.asarray(Q.apply(jnp.asarray(v)))))
+    assert eta >= 0.3 * err
+
+
+def test_certify_fast_matches_exact(problem):
+    """certify(fast=Q.two_float()) reaches the same decision as the exact
+    path; acceptance rides the exact-subspace-verified probe."""
+    from xmtpu.solver.certificate import certify
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C, Abar, Q = problem
+    res = solve_arrays(Q, max_rank=4, tol=1e-9, lam=0.0, verbose=False)
+    assert res.certified
+    sR = jnp.asarray(res.R * np.repeat(res.s_ex, 3)[:, None])
+    c_exact = certify(Q, sR, 0.0, res.primal)
+    c_fast = certify(Q, sR, 0.0, res.primal, fast=Q.two_float(pallas=False))
+    assert bool(c_fast.certified) == bool(c_exact.certified) is True
+
+
+def test_certify_fast_refutes_bad_point(problem):
+    """A clearly suboptimal point is refuted on the fast path too (exact
+    witness re-check keeps the refutation sound)."""
+    from xmtpu.solver.certificate import certify
+
+    scene, C, Abar, Q = problem
+    n = Q.n_cameras
+    rng = np.random.default_rng(9)
+    sR_bad = jnp.asarray(rng.normal(size=(3 * n, 3)))
+    c = certify(Q, sR_bad, 0.0, 1.0, fast=Q.two_float(pallas=False))
+    assert not bool(c.certified)
+
+
+def test_staircase_edge_tf_certifies_same_optimum(problem):
+    """solve_arrays(edge_tf=True): TR stages on the fully two-float operator
+    still reach the exact-operator certified optimum."""
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene, C, Abar, Q = problem
+    res_ref = solve_arrays(Q, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    res_tf = solve_arrays(Q, max_rank=4, tol=1e-8, lam=0.0, verbose=False,
+                          edge_tf=True, edge_pallas=False)
+    assert res_tf.certified
+    # the TF stage stops at its own (~1.5e-7 relative-apply) noise floor —
+    # certified optima are the semantics (CLAUDE.md); objectives agree loosely
+    np.testing.assert_allclose(res_tf.primal, res_ref.primal,
+                               rtol=1e-3, atol=1e-9)
+
+
+def test_dense_two_float_matches(problem):
+    """DenseQTF (hi/lo f32 pair) tracks the dense f64 matvec to the
+    documented two-float noise floor."""
+    from xmtpu.ops.qop import dense_two_float
+
+    scene, C, Abar, Q = problem
+    Qd = dense_two_float(jnp.asarray(C))
+    rng = np.random.default_rng(11)
+    Y = jnp.asarray(rng.normal(size=(C.shape[0], 5)))
+    ref = np.asarray(C) @ np.asarray(Y)
+    out = np.asarray(Qd.apply(Y))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 1e-6, rel
+    assert Qd.diag_blocks().shape == (Q.n_cameras, 3, 3)

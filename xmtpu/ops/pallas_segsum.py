@@ -43,33 +43,59 @@ def max_band(seg_ids: np.ndarray, chunk: int = CHUNK) -> int:
     return best
 
 
-def _kernel(ids_ref, vals_ref, out_ref, *, band, use_mxu):
+def _kernel(pay_ref, out_ref, *, band, use_mxu, inner, chunk, D):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[:, 0]                      # (chunk,)
-    first = ids[0]
-    local = ids - first                      # in [0, band)
-    chunk = ids.shape[0]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
-              == local[None, :])
-    vals = vals_ref[:, :]
-    if use_mxu:
-        # HIGHEST: the TPU f32 matmul default is bf16 passes — measured
-        # 6e-3 relative error on real hardware without it (the one-hot
-        # matrix is exact; the values are not)
-        partial = jnp.dot(onehot.astype(vals.dtype), vals,
-                          preferred_element_type=vals.dtype,
-                          precision=jax.lax.Precision.HIGHEST)
-    else:
-        # exact masked reduction (f64: avoid emulated MXU)
-        partial = jnp.sum(
-            jnp.where(onehot[:, :, None], vals[None, :, :], 0.0), axis=1)
-    cur = out_ref[pl.ds(first, band), :]
-    out_ref[pl.ds(first, band), :] = cur + partial
+    # ``inner`` sub-chunks per grid step, rolled as a fori_loop: each grid
+    # step carries fixed dispatch/DMA latency, and at CHUNK=512 the per-step
+    # matmul is tiny — a 480-step sequential grid was latency-bound
+    # (measured 18 ms for the n=6144 edge pass, round 5).  Batching
+    # sub-chunks cuts the step count ``inner``-fold at identical arithmetic:
+    # band semantics are per 512-row window, unchanged.
+    #
+    # The segment ids ride as an extra FLOAT payload column (exact for ids
+    # < 2^24): a separate (rows, 1) i32 input would occupy a full 128-lane
+    # VMEM tile per 8 rows — at inner=16 the two double-buffered inputs blew
+    # the 16 MB scoped-VMEM budget; packed, the block is one buffer.
+    def sub(j, _):
+        # all-i32 index arithmetic: i64 loop indices / bare Python ints
+        # under jax_enable_x64 fail Mosaic legalization (platform rule 13) —
+        # the fori_loop below gets i32 bounds so ``j`` is i32
+        off = j * jnp.int32(chunk)
+        blk = pay_ref[pl.ds(off, chunk), :]              # (chunk, D+1)
+        ids_f = blk[:, D]                                # float ids, exact
+        first = ids_f[0]
+        local = ids_f - first                            # in [0, band)
+        onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, (band, chunk), 0).astype(blk.dtype)
+            == local[None, :])
+        vals = blk[:, :D]
+        if use_mxu:
+            # HIGHEST: the TPU f32 matmul default is bf16 passes — measured
+            # 6e-3 relative error on real hardware without it (the one-hot
+            # matrix is exact; the values are not)
+            partial = jnp.dot(onehot.astype(vals.dtype), vals,
+                              preferred_element_type=vals.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+        else:
+            # exact masked reduction (f64: avoid emulated MXU)
+            partial = jnp.sum(
+                jnp.where(onehot[:, :, None], vals[None, :, :], 0.0), axis=1)
+        first_i = first.astype(jnp.int32)
+        cur = out_ref[pl.ds(first_i, band), :]
+        out_ref[pl.ds(first_i, band), :] = cur + partial
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(inner), sub, jnp.int32(0))
+
+
+# sub-chunks per grid step (see _kernel); 16 turns the n=6144 edge pass's
+# 480-step grid into 30 steps
+INNER = 16
 
 
 def sorted_segment_sum(vals: jax.Array, seg_ids: jax.Array, num_segments: int,
@@ -79,13 +105,25 @@ def sorted_segment_sum(vals: jax.Array, seg_ids: jax.Array, num_segments: int,
 
     Args:
       vals: (E, D) values, rows sorted by segment id.
-      seg_ids: (E,) int32 sorted segment ids.
+      seg_ids: (E,) int32 sorted segment ids (must be < 2^24: they ride the
+        kernel as an exact float column).
       num_segments: S.
       band: static bound on distinct segments per chunk (see
         :func:`max_band`); the kernel is incorrect if exceeded.
     """
     E, D = vals.shape
-    pad = (-E) % chunk
+    assert num_segments < (1 << 24), "float-packed ids require S < 2^24"
+    # VMEM-aware inner cap: every VMEM buffer lane-pads D to 128, so the
+    # resident output costs (S + band) * 128 * itemsize and each
+    # double-buffered payload block inner * chunk * 128 * itemsize — a
+    # large-S landmark reduction (S ~ 24k: 12.6 MB output) leaves room for
+    # only a couple of sub-chunks under the 16 MB scoped budget
+    item = jnp.dtype(vals.dtype).itemsize
+    out_bytes = (num_segments + band) * 128 * item
+    room = 14 * (1 << 20) - out_bytes
+    vmem_cap = max(1, room // (2 * chunk * 128 * item))
+    inner = int(max(1, min(INNER, vmem_cap, -(-E // chunk))))
+    pad = (-E) % (chunk * inner)
     if pad:
         # padding rows keep the last segment id with zero values
         vals = jnp.concatenate([vals, jnp.zeros((pad, D), vals.dtype)])
@@ -95,21 +133,23 @@ def sorted_segment_sum(vals: jax.Array, seg_ids: jax.Array, num_segments: int,
 
     use_mxu = vals.dtype == jnp.float32
     out_rows = num_segments + band  # slack so the band store never clips
+    payload = jnp.concatenate(
+        [vals, seg_ids.astype(vals.dtype)[:, None]], axis=1)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, band=band, use_mxu=use_mxu),
-        grid=(E // chunk,),
+        functools.partial(_kernel, band=band, use_mxu=use_mxu, inner=inner,
+                          chunk=chunk, D=D),
+        grid=(E // (chunk * inner),),
         # index maps derive every coordinate from the (i32) program id —
         # literal 0 would trace as i64 under jax_enable_x64 and the mixed
         # (i32, i64) index tuple fails Mosaic legalization
         in_specs=[
-            pl.BlockSpec((chunk, 1), lambda i: (i, i * 0)),
-            pl.BlockSpec((chunk, D), lambda i: (i, i * 0)),
+            pl.BlockSpec((chunk * inner, D + 1), lambda i: (i, i * 0)),
         ],
         out_specs=pl.BlockSpec((out_rows, D), lambda i: (i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((out_rows, D), vals.dtype),
         interpret=interpret,
-    )(seg_ids[:, None].astype(jnp.int32), vals)
+    )(payload)
     return out[:num_segments]
 
 

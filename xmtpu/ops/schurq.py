@@ -356,6 +356,20 @@ class SchurQ(QOperator):
         return jnp.concatenate([-z_A, -z_B], axis=0)
 
 
+    def two_float(self, pallas: "bool | None" = None) -> "SchurQTF":
+        """Derive the fully two-float fast-exact operator (f32-pair edge
+        reductions AND f32-pair ``VT_inv`` GEMM — zero emulated-f64 work per
+        apply).  See :class:`SchurQTF`; same ``pallas`` policy as
+        :meth:`edge_f32`."""
+        e = self.edge_f32(pallas=pallas)
+        vth, vtl = _split_f32(self.VT_inv)
+        return SchurQTF(e.Q1, e.V1, e.f_l, e.l_l, e.f_f, e.l_f,
+                        e.wxh_l, e.wxl_l, e.cfh_l, e.cfl_l,
+                        e.wxh_f, e.wxl_f, e.cfh_f, e.cfl_f,
+                        e.inv_q3, e.inv_sqrt_q3, vth, vtl,
+                        band_l=e.band_l, band_f=e.band_f,
+                        interpret=e.interpret)
+
     def edge_f32(self, pallas: "bool | None" = None) -> "SchurQEdgeF32":
         """Derive the mixed-precision operator (f32 edge reductions inside an
         f64 apply).  See :class:`SchurQEdgeF32`.
@@ -589,6 +603,143 @@ class SchurQEdgeF32(QOperator):
     solve_M = SchurQ.solve_M
     apply = SchurQ.apply
     recover_y = SchurQ.recover_y
+
+
+def _tf_gemm(vh, vl, y):
+    """Two-float GEMM ``(vh + vl) @ y`` to first order, combined in f64.
+
+    ``vh``/``vl`` are the stored f32 hi/lo split of an f64 matrix; ``y`` is
+    split on the fly.  The hi @ [y_hi | y_lo] products run as ONE f32 MXU
+    GEMM (column concat), the lo @ y_hi correction as a second — measured
+    4.7 ms vs 24.3 ms for the emulated-f64 GEMM at (6143)^2, relerr 1.5e-7
+    (benchmarks/exact_matvec_bench.py).  The dropped lo*lo term is ~1e-15
+    relative; the residual error is the MXU's f32 accumulation noise."""
+    yh = y.astype(jnp.float32)
+    yl = (y - yh.astype(y.dtype)).astype(jnp.float32)
+    a = jnp.dot(vh, jnp.concatenate([yh, yl], axis=1),
+                precision=jax.lax.Precision.HIGHEST)
+    b = jnp.dot(vl, yh, precision=jax.lax.Precision.HIGHEST)
+    o = y.shape[1]
+    return (a[:, :o].astype(y.dtype) + a[:, o:].astype(y.dtype)
+            + b.astype(y.dtype))
+
+
+@register_pytree_node_class
+@dataclass
+class SchurQTF(QOperator):
+    """Fully two-float fast-exact operator: :class:`SchurQEdgeF32` edge
+    reductions PLUS the two-float ``VT_inv`` GEMM (:func:`_tf_gemm`) — no
+    emulated-f64 work anywhere in the apply.
+
+    This is the round-5 answer to the exact matvec's 0.6%-of-roofline gap
+    (VERDICT r4 item 1): at n=6144 the f64 apply measured 177 ms (edge ops
+    ~150 ms + 24 ms f64 GEMM); the two-float edge path with the Pallas
+    segment-sum kernel is ~18 ms and this GEMM ~5 ms.  Apply error vs the
+    exact f64 operator: ~1e-8 relative from the edge path (measured) plus
+    ~1.5e-7 from the GEMM's f32 accumulation — callers that make
+    SOUNDNESS-critical decisions (the certificate) must account for it via
+    :func:`operator_error_estimate` (the certificate subtracts the estimate
+    from its probe shift; ``solver.certificate.certify(fast=...)``).
+
+    Derive with :meth:`SchurQ.two_float`.  Reference hot op this replaces:
+    trustregion.h:187,237,553 (C*sR GEMMs through the factored form).
+    """
+
+    Q1: jax.Array
+    V1: jax.Array
+    f_l: jax.Array
+    l_l: jax.Array
+    f_f: jax.Array
+    l_f: jax.Array
+    wxh_l: jax.Array
+    wxl_l: jax.Array
+    cfh_l: jax.Array
+    cfl_l: jax.Array
+    wxh_f: jax.Array
+    wxl_f: jax.Array
+    cfh_f: jax.Array
+    cfl_f: jax.Array
+    inv_q3: jax.Array
+    inv_sqrt_q3: jax.Array
+    vth: jax.Array        # f32 hi part of VT_inv
+    vtl: jax.Array        # f32 lo part of VT_inv
+    band_l: int = 0
+    band_f: int = 0
+    interpret: bool = False
+
+    def tree_flatten(self):
+        return ((self.Q1, self.V1, self.f_l, self.l_l, self.f_f, self.l_f,
+                 self.wxh_l, self.wxl_l, self.cfh_l, self.cfl_l,
+                 self.wxh_f, self.wxl_f, self.cfh_f, self.cfl_f,
+                 self.inv_q3, self.inv_sqrt_q3, self.vth, self.vtl),
+                (self.band_l, self.band_f, self.interpret))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    n_cameras = SchurQEdgeF32.n_cameras
+    n_landmarks = SchurQEdgeF32.n_landmarks
+    dim = SchurQEdgeF32.dim
+
+    def diag_blocks(self):
+        return self.Q1
+
+    _seg2 = SchurQEdgeF32._seg2
+    _vtpT = SchurQEdgeF32._vtpT
+    _vtp = SchurQEdgeF32._vtp
+    _v3f = SchurQEdgeF32._v3f
+    _v3fT = SchurQEdgeF32._v3fT
+
+    def solve_M(self, b_A, b_B):
+        t = self.inv_sqrt_q3[:, None] * b_B
+        rhs = b_A + self._v3f(t)
+        x_A = _tf_gemm(self.vth, self.vtl, rhs)[: b_A.shape[0]]
+        x_B = (self.inv_q3[:, None] * b_B
+               + self.inv_sqrt_q3[:, None] * self._v3fT(x_A))
+        return x_A, x_B
+
+    apply = SchurQ.apply
+    recover_y = SchurQ.recover_y
+
+
+def operator_error_estimate(Q_ref, Q_fast, iters: int = 6, seed: int = 0,
+                            o: int = 1):
+    """Spectral-norm estimate of ``Delta = Q_fast - Q_ref`` by power
+    iteration on ``Delta^T Delta`` (each iteration: one apply of each
+    operator in both directions — Delta is built from symmetric operators
+    but its rounding need not be, so the normal-equations form is used).
+
+    Returns a HOST float.  Power iteration converges to ``||Delta||_2`` from
+    below; callers needing a margin should multiply by a safety factor (the
+    certificate uses 10x — still orders below its 1e-3 acceptance bound for
+    the measured ~1e-7-relative two-float error).
+    """
+    est = _op_err_power(Q_ref, Q_fast, jnp.asarray(iters, jnp.int32),
+                        jnp.asarray(seed, jnp.int32))
+    return float(jax.device_get(est))
+
+
+@jax.jit
+def _op_err_power(Q_ref, Q_fast, iters, seed):
+    d = Q_ref.dim
+    v = jax.random.normal(jax.random.PRNGKey(seed), (d, 1), jnp.float64)
+    v = v / jnp.linalg.norm(v)
+
+    def dmul(x):
+        return Q_fast.apply(x) - Q_ref.apply(x)
+
+    def body(_, carry):
+        v, _ = carry
+        w = dmul(v)          # Delta v   (Delta^T == Delta up to rounding;
+        u = dmul(w)          # Delta^T Delta v via a second symmetric apply)
+        nrm = jnp.linalg.norm(u)
+        sigma = jnp.sqrt(jnp.maximum(nrm, 1e-300))
+        return u / jnp.maximum(nrm, 1e-300), sigma
+
+    _, sigma = jax.lax.fori_loop(0, iters, body,
+                                 (v, jnp.zeros((), jnp.float64)))
+    return sigma
 
 
 @jax.jit

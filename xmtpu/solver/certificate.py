@@ -298,7 +298,7 @@ def _certify_core(C, sR, lam, primal, v0=None, use_lanczos: bool = False,
 
 
 def _deflated_min_eig(zmul_mat, sR, v0=None, with_parts: bool = False,
-                      num_iters: int = 96):
+                      num_iters: int = 96, zmul_head=None, eta=None):
     """Sound, deflation-based minimum-eigenvalue bound for the dual matrix Z
     given only its (batched) matvec — the implicit-operator analog of the
     dense path's Cholesky PSD probe.
@@ -325,6 +325,13 @@ def _deflated_min_eig(zmul_mat, sR, v0=None, with_parts: bool = False,
     Returns ``(lam_min_est, lam_min_lb, v)`` with ``lam_min_lb`` a rigorous
     lower bound (up to Lanczos's random-start coverage) and ``v`` the escape
     direction drawn from whichever block is lowest.
+
+    ``zmul_head``: optional EXACT-operator closure for the U-block head
+    (``ZU``, the small block, the coupling norm) when ``zmul_mat`` is a fast
+    approximate operator running the Krylov loop; ``eta`` — a spectral bound
+    on that operator's error — is then subtracted from the projected-Lanczos
+    lower bound (Weyl: each eigenvalue of the perturbed PZP moves at most
+    ``||Delta||_2``), keeping ``lam_min_lb`` rigorous.
     """
     from xmtpu.ops.lanczos import lanczos_min_eig
 
@@ -336,7 +343,7 @@ def _deflated_min_eig(zmul_mat, sR, v0=None, with_parts: bool = False,
     wG = jnp.maximum(wG, jnp.asarray(1e-30, sR.dtype))
     U = sR @ ((VG / jnp.sqrt(wG)) @ VG.T)
 
-    ZU = zmul_mat(U)                                   # (3n, o)
+    ZU = (zmul_head if zmul_head is not None else zmul_mat)(U)  # (3n, o)
     A_small = U.T @ ZU
     A_small = 0.5 * (A_small + A_small.T)
     wA, VA = jnp.linalg.eigh(A_small)
@@ -359,6 +366,9 @@ def _deflated_min_eig(zmul_mat, sR, v0=None, with_parts: bool = False,
     # (leakage) is conservative: 0 enters the min below and the true
     # perp-block bottom can only raise it
     lam_perp_lb = lam_perp - resid
+    if eta is not None:
+        # fast-operator Krylov loop: widen by the measured operator error
+        lam_perp_lb = lam_perp_lb - eta
 
     lam_min_est = jnp.minimum(lam_U, lam_perp)
     lam_min_lb = jnp.minimum(lam_U, lam_perp_lb) - b_norm
@@ -368,18 +378,17 @@ def _deflated_min_eig(zmul_mat, sR, v0=None, with_parts: bool = False,
     return lam_min_est, lam_min_lb, v
 
 
-def _implicit_z_parts(Q_op, sR, lam, with_diag: bool = False,
-                      with_delta: bool = False):
-    """Shared construction for the implicit (matvec-only) certificate: the
-    exact block-diagonal dual solve and the resulting ``Z`` matvec closure.
+def _implicit_z_build(Q_op, sR, lam):
+    """Core of the implicit-certificate construction: the exact dual solve
+    (block-diagonal normal equations, driven by ONE exact apply ``B = Z0
+    sR``) plus a FACTORY of Z-matvec closures so callers can run the cheap
+    iterations through a fast approximate operator while the dual
+    multiplier — and any closure built over the exact operator — stays
+    exact (round-5 fast-exact path, VERDICT r4 item 1).
 
-    Returns ``(zmul_mat, dual)`` where ``zmul_mat: (3n, k) -> Z @ X`` applies
-    ``Z = C + lam-corr - A^*(y)`` without ever materializing it.  With
-    ``with_diag`` also returns an approximation of Z's per-camera diagonal
-    3x3 blocks (``Q_op.diag_blocks()`` + lam-corr - A^*(y) blocks) for
-    preconditioning — approximate only through ``diag_blocks`` (SchurQ
-    reports the PSD upper bound Q1), never used in the soundness-critical
-    decisions.
+    Returns ``(mk_zmul, dual, Dall, corr)`` with ``mk_zmul(op)`` a closure
+    ``(3n, k) -> Z @ X`` applying ``Z = C_op + lam-corr - A^*(y)`` through
+    the given operator ``op``.
     """
     three_n, o = sR.shape
     n = three_n // 3
@@ -387,13 +396,13 @@ def _implicit_z_parts(Q_op, sR, lam, with_diag: bool = False,
     x_ii = jnp.sum(S[:, 0, :] ** 2, axis=-1)
     corr = 2.0 * lam * (x_ii - 1.0)              # added to rows/cols (3i, 3i)
 
-    def zmul0(X):                                 # (3n, k) -> Z X without A*(y)
-        out = Q_op.apply(X)
+    def zmul0(op, X):                             # (3n, k) -> Z X without A*(y)
+        out = op.apply(X)
         Xb = X.reshape(n, 3, -1)
         add = jnp.zeros_like(Xb).at[:, 0, :].set(corr[:, None] * Xb[:, 0, :])
         return out + add.reshape(3 * n, -1)
 
-    B = zmul0(sR).reshape(n, 3, o)
+    B = zmul0(Q_op, sR).reshape(n, 3, o)
 
     P0 = _camera0_patterns(sR.dtype)
     M0 = jnp.einsum("cab,bo->cao", P0, S[0])
@@ -411,13 +420,39 @@ def _implicit_z_parts(Q_op, sR, lam, with_diag: bool = False,
     D = jnp.einsum("nc,cab->nab", y, P)
     Dall = jnp.concatenate([D0[None], D], axis=0)  # (n, 3, 3)
 
-    def zmul_mat(X):                               # (3n, k) -> Z X
-        out = zmul0(X)
-        Xb = X.reshape(n, 3, -1)
-        out = out - jnp.einsum("nab,nbk->nak", Dall, Xb).reshape(3 * n, -1)
-        return out
+    def mk_zmul(op):
+        def zmul_mat(X):                           # (3n, k) -> Z X
+            out = zmul0(op, X)
+            Xb = X.reshape(n, 3, -1)
+            out = out - jnp.einsum("nab,nbk->nak", Dall,
+                                   Xb).reshape(3 * n, -1)
+            return out
+        return zmul_mat
 
     dual = y0[0] + y0[3] + y0[5] + lam * jnp.sum(1.0 - x_ii**2)
+    return mk_zmul, dual, Dall, corr
+
+
+def _implicit_z_parts(Q_op, sR, lam, with_diag: bool = False,
+                      with_delta: bool = False, apply_op=None):
+    """Shared construction for the implicit (matvec-only) certificate: the
+    exact block-diagonal dual solve and the resulting ``Z`` matvec closure.
+
+    Returns ``(zmul_mat, dual)`` where ``zmul_mat: (3n, k) -> Z @ X`` applies
+    ``Z = C + lam-corr - A^*(y)`` without ever materializing it.  With
+    ``with_diag`` also returns an approximation of Z's per-camera diagonal
+    3x3 blocks (``Q_op.diag_blocks()`` + lam-corr - A^*(y) blocks) for
+    preconditioning — approximate only through ``diag_blocks`` (SchurQ
+    reports the PSD upper bound Q1), never used in the soundness-critical
+    decisions.
+
+    ``apply_op``: optional fast approximate operator (e.g.
+    ``SchurQ.two_float``) substituted into the returned CLOSURE only — the
+    dual multiplier is always computed through the exact ``Q_op``.
+    """
+    mk_zmul, dual, Dall, corr = _implicit_z_build(Q_op, sR, lam)
+    n = sR.shape[0] // 3
+    zmul_mat = mk_zmul(apply_op if apply_op is not None else Q_op)
     if with_delta:
         # Z = C + Delta with Delta = blkdiag(corr_i e00 - Dall_i).  When C is
         # PSD by construction, lam_min(Z) >= min_i lam_min(Delta_i) — a
@@ -437,15 +472,24 @@ def _implicit_z_parts(Q_op, sR, lam, with_diag: bool = False,
     return zmul_mat, dual
 
 
-@partial(jax.jit, static_argnames=("has_v0", "lanczos_iters"))
+@partial(jax.jit, static_argnames=("has_v0", "lanczos_iters", "has_fast"))
 def _certify_core_matvec(Q_op, sR, lam, primal, v0=None, has_v0: bool = False,
-                         lanczos_iters: int = 48):
+                         lanczos_iters: int = 48, Q_fast=None,
+                         eta=0.0, has_fast: bool = False):
     """Fully matvec-based certificate for implicit operators (SchurQ): the
     dual matrix ``Z = C + lam-corr - A^*(y)`` is never materialized; its
     action is ``C x`` (one operator apply) plus two structured block terms,
     and the minimum eigenvalue comes from the deflated two-block bound
     (:func:`_deflated_min_eig`) — the implicit analog of the dense path's
     Cholesky PSD probe (checkeig.h:303-337 equivalent at scale).
+
+    ``Q_fast``/``has_fast``: run the Lanczos prelude's per-iteration matvecs
+    through the fast two-float operator (``SchurQ.two_float``); ``eta`` — a
+    measured spectral bound on the operator error
+    (``ops.schurq.operator_error_estimate`` x safety) — is subtracted from
+    the Krylov lower bound so it stays rigorous under the approximate
+    matvec.  The dual solve, the U-block head, the coupling norm, and the
+    Delta bound always go through the exact ``Q_op``.
 
     Returns ``(lam_min, v, gap, dual, lam_min - lam_min_lb, lam_U,
     delta_min)`` — ``delta_min = min_i lam_min(Delta_i)`` is the structural
@@ -454,8 +498,13 @@ def _certify_core_matvec(Q_op, sR, lam, primal, v0=None, has_v0: bool = False,
     feed the host-side decision to run the CG shift probe
     (:func:`_implicit_psd_probe`) when neither bound is conclusive.
     """
-    zmul_mat, dual, delta_min = _implicit_z_parts(Q_op, sR, lam,
-                                                  with_delta=True)
+    mk_zmul, dual, Dall, corr = _implicit_z_build(Q_op, sR, lam)
+    zmul_mat = mk_zmul(Q_op)
+    zmul_fast = mk_zmul(Q_fast) if has_fast else zmul_mat
+    Delta = -Dall
+    Delta = Delta.at[:, 0, 0].add(corr)
+    Delta = 0.5 * (Delta + jnp.swapaxes(Delta, -1, -2))
+    delta_min = jnp.min(jnp.linalg.eigh(Delta)[0])
     n = sR.shape[0] // 3
 
     # Short Krylov budget: every iteration is an exact-f64 implicit matvec
@@ -463,8 +512,9 @@ def _certify_core_matvec(Q_op, sR, lam, primal, v0=None, has_v0: bool = False,
     # decider when this bound is inconclusive — the Lanczos pass only needs
     # a good estimate + start direction, not full resolution.
     lam_min, lam_min_lb, v, lam_U, b_norm = _deflated_min_eig(
-        zmul_mat, sR, v0=v0 if has_v0 else None, with_parts=True,
-        num_iters=lanczos_iters)
+        zmul_fast, sR, v0=v0 if has_v0 else None, with_parts=True,
+        num_iters=lanczos_iters, zmul_head=zmul_mat,
+        eta=eta if has_fast else None)
 
     # gap through the rigorous lower bound (the tighter of the Lanczos
     # two-block bound and — when C is structurally PSD — the Delta bound);
@@ -498,7 +548,8 @@ class ProbeResult(NamedTuple):
 def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
                         v0=None, has_v0: bool = False, chunk: int = 64,
                         min_explore: int = 32, deflate: bool = True,
-                        max_seconds: "float | None" = 900.0) -> ProbeResult:
+                        max_seconds: "float | None" = 900.0,
+                        Q_fast=None, verify_k: int = 48) -> ProbeResult:
     """CG shift probe: decides ``lam_min(Z) > -shift`` through the factored
     operator — the implicit analog of the dense certificate's Cholesky probe
     of ``Z + bound I`` (checkeig.h:303-337 / `_build_z_dual_psd`).
@@ -575,6 +626,23 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
     decisive pass converges orders below dim, and when it genuinely cannot,
     the wall clock bounds the spend and the result stays honestly
     inconclusive.
+
+    **Fast-operator probing with exact verification** (``Q_fast``, round 5 /
+    VERDICT r4 item 1): when a fast two-float operator is supplied, every CG
+    ITERATION runs through it (the exact f64 apply is ~10x slower at n=6144)
+    — but no decision rests on it:
+
+    * the pass stores the first ``verify_k`` explored (normalized) search
+      directions ``P`` in the device carry; a converged pass is accepted
+      only after ``H = P'(Z_exact + shift I)P`` — ONE wide exact apply —
+      proves ``H`` positive definite (:func:`_probe_subspace_verify`).
+      ``x'(Z+shift)x = c'Hc > 0`` for every ``x = Pc`` in the stored span,
+      so acceptance is exactly as sound as the exact-operator pass over
+      those directions, independent of the fast operator's error;
+      ``lam_min(H) <= 0`` conversely yields an EXACT refutation witness.
+    * a fast-pass negative-curvature witness is re-checked with one exact
+      matvec before refuting; if the exact curvature is positive (fast-op
+      noise), the probe reruns entirely on the exact operator.
     """
     import numpy as _np
 
@@ -618,7 +686,17 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
         x=zero_v, r=zero_v, p=zero_v, rr=_np.ones((), np_dt),
         rz=_np.ones((), np_dt), bb=_np.ones((), np_dt),
         it=_np.zeros((), _np.int32), neg=_np.asarray(False),
-        wdir=zero_v)
+        wdir=zero_v, Pbuf=_np.zeros((three_n, verify_k), np_dt))
+    A_op = Q_fast if Q_fast is not None else Q_op
+
+    def rerun_exact():
+        # fast-op evidence did not survive exact re-checking (rare:
+        # fast-curvature sign flip or a degenerate stored subspace) — decide
+        # on the exact operator from scratch
+        return _implicit_psd_probe(
+            Q_op, sR, lam, shift, max_iters=max_iters, v0=v0, has_v0=has_v0,
+            chunk=chunk, min_explore=min_explore, deflate=deflate,
+            max_seconds=max_seconds, Q_fast=None, verify_k=verify_k)
 
     total = 0
     probe_idx = 0
@@ -631,13 +709,14 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
         converged = False
         neg = False
         while it < budget:
+            prev_it = it
             kmax = jnp.asarray(min(it + chunk, budget), jnp.int32)
             if deflate:
-                carry = _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry,
-                                              kmax, W, AW, Einv)
+                carry = _psd_probe_chunk_defl(Q_op, A_op, sR, lam, shift, b,
+                                              carry, kmax, W, AW, Einv)
             else:
-                carry = _psd_probe_chunk(Q_op, sR, lam, shift, b, carry,
-                                         kmax)
+                carry = _psd_probe_chunk(Q_op, A_op, sR, lam, shift, b,
+                                         carry, kmax)
             # ONE batched scalar fetch per chunk (platform rule 5)
             it, neg, rr, bb = jax.device_get(
                 (carry.it, carry.neg, carry.rr, carry.bb))
@@ -645,17 +724,41 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
             converged = float(rr) <= 1e-24 * float(bb)
             if neg or converged:
                 break
+            if it <= prev_it and prev_it > 0 or not _np.isfinite(float(rr)):
+                # a NaN recurrence breakdown exits the device loop without
+                # advancing ``it`` (NaN fails every comparison): the next
+                # chunk would replay as a no-op forever (ADVICE r4) —
+                # break to the inconclusive return instead
+                break
             if time.monotonic() > deadline:
                 timed_out = True
                 break
         total += it
         if bool(neg):
+            if Q_fast is not None:
+                # re-check the fast-op witness with one exact matvec
+                curv = float(jax.device_get(_exact_probe_curvature(
+                    Q_op, sR, lam, shift, carry.wdir)))
+                if not (curv <= 0.0):
+                    return rerun_exact()
             return ProbeResult(False, True, converged, total, carry.wdir)
         if not converged:
             # budget (iterations or wall clock) exhausted without a
             # decision: inconclusive
             del timed_out
             return ProbeResult(False, False, False, total, carry.wdir)
+        if Q_fast is not None:
+            # exact-subspace verification of the stored directions: the
+            # acceptance decision never rests on the fast operator
+            lamH, wvec, wn = jax.device_get(_probe_subspace_verify(
+                Q_op, sR, lam, shift, carry.Pbuf,
+                jnp.asarray(min(it, verify_k), jnp.int32)))
+            if not (float(lamH) > 0.0):
+                if _np.isfinite(float(lamH)) and float(wn) > 1e-150:
+                    # sound exact refutation from the verified subspace
+                    return ProbeResult(False, True, True, total,
+                                       jnp.asarray(wvec) / float(wn))
+                return rerun_exact()
         if total >= min_explore:
             return ProbeResult(True, False, True, total, carry.wdir)
         if total >= max_iters:
@@ -665,6 +768,41 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
             # default max_iters >= 512 this branch is unreachable)
             return ProbeResult(False, False, True, total, carry.wdir)
         probe_idx += 1  # converged early: explore more from a fresh start
+
+
+@jax.jit
+def _probe_subspace_verify(Q_op, sR, lam, shift, P, count):
+    """Exact-subspace acceptance check for the fast-operator probe: one wide
+    EXACT apply ``A P = (Z + shift I) P`` over the stored directions, then
+    ``lam_min(H)`` of ``H = P' A P`` (tiny dense eigh).  ``H`` positive
+    definite proves every direction in span(P[:, :count]) has positive
+    shifted curvature — the probe's acceptance claim — with no dependence on
+    the fast operator's rounding; ``lam_min(H) <= 0`` yields the exact
+    refutation witness ``w = P c``.  Unstored columns are masked to identity
+    rows so they cannot affect the minimum."""
+    mk_zmul, _, _, _ = _implicit_z_build(Q_op, sR, lam)
+    zm = mk_zmul(Q_op)
+    AP = zm(P) + shift * P
+    H = jnp.dot(P.T, AP, precision=jax.lax.Precision.HIGHEST)
+    H = 0.5 * (H + H.T)
+    K = P.shape[1]
+    mask = jnp.arange(K) < count
+    m2 = mask[:, None] & mask[None, :]
+    H = jnp.where(m2, H, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0))
+    wH, VH = jnp.linalg.eigh(H)
+    c = VH[:, 0] * mask
+    w = P @ c
+    return wH[0], w, jnp.linalg.norm(w)
+
+
+@jax.jit
+def _exact_probe_curvature(Q_op, sR, lam, shift, w):
+    """Exact shifted Rayleigh quotient ``w'(Z + shift I)w / w'w`` — one
+    exact matvec; re-checks a fast-operator negative-curvature witness."""
+    mk_zmul, _, _, _ = _implicit_z_build(Q_op, sR, lam)
+    zm = mk_zmul(Q_op)
+    Aw = zm(w[:, None])[:, 0] + shift * w
+    return jnp.vdot(w, Aw) / jnp.maximum(jnp.vdot(w, w), 1e-300)
 
 
 def _probe_deflation_basis(Q_op, sR, lam, shift, v0):
@@ -722,18 +860,34 @@ class _ProbeCarry(NamedTuple):
     it: jax.Array
     neg: jax.Array     # bool: negative curvature seen
     wdir: jax.Array    # witness direction when neg
+    Pbuf: jax.Array    # (3n, K) first K normalized explored directions —
+    #                    the exact-subspace verification basis (fast-op probe)
+
+
+def _probe_store_dir(c: "_ProbeCarry"):
+    """Store the (normalized) direction explored this iteration into the
+    first free ``Pbuf`` column (no-op once full)."""
+    K = c.Pbuf.shape[1]
+    idx = jnp.minimum(c.it, K - 1)
+    pn = c.p * jax.lax.rsqrt(jnp.maximum(jnp.vdot(c.p, c.p), 1e-300))
+    col = jnp.where(c.it < K, pn, c.Pbuf[:, idx])
+    return c.Pbuf.at[:, idx].set(col)
 
 
 @jax.jit
-def _psd_probe_chunk(Q_op, sR, lam, shift, b, carry, kmax):
+def _psd_probe_chunk(Q_op, A_op, sR, lam, shift, b, carry, kmax):
     """One bounded chunk of the preconditioned CG shift probe (``kmax`` is
     the traced global iteration bound so every chunk replays one compiled
     program).  ``carry.it == 0`` flags a pre-init dummy carry; the real one
     is built in-program under ``lax.cond`` so the first chunk compiles the
-    SAME program as every later chunk (ADVICE r2)."""
+    SAME program as every later chunk (ADVICE r2).  ``A_op`` is the operator
+    the ITERATIONS run through (the fast two-float operator, or ``Q_op``
+    itself) — the dual multiplier inside the closure always comes from the
+    exact ``Q_op``."""
     three_n = sR.shape[0]
     n = three_n // 3
-    zmul_mat, _, Zdiag = _implicit_z_parts(Q_op, sR, lam, with_diag=True)
+    zmul_mat, _, Zdiag = _implicit_z_parts(Q_op, sR, lam, with_diag=True,
+                                           apply_op=A_op)
 
     # SPD floor of the (possibly indefinite) approximate diagonal blocks:
     # batched 3x3 eigh, clamp eigenvalues away from zero, invert
@@ -756,7 +910,7 @@ def _psd_probe_chunk(Q_op, sR, lam, shift, b, carry, kmax):
         return _ProbeCarry(
             x=jnp.zeros_like(b), r=b, p=z0, rr=bb, rz=jnp.vdot(b, z0),
             bb=bb, it=jnp.zeros((), jnp.int32), neg=jnp.asarray(False),
-            wdir=jnp.zeros_like(b))
+            wdir=jnp.zeros_like(b), Pbuf=c.Pbuf)
 
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
     carry = jax.lax.cond(carry.it == 0, mk_init, lambda c: c, carry)
@@ -765,6 +919,7 @@ def _psd_probe_chunk(Q_op, sR, lam, shift, b, carry, kmax):
         return (c.it < kmax) & (~c.neg) & (c.rr > 1e-24 * c.bb)
 
     def body(c: _ProbeCarry):
+        Pbuf = _probe_store_dir(c)
         Ap = amul(c.p)
         pAp = jnp.vdot(c.p, Ap)
         neg = pAp <= 0.0
@@ -780,16 +935,19 @@ def _psd_probe_chunk(Q_op, sR, lam, shift, b, carry, kmax):
         return _ProbeCarry(x=jnp.where(neg, c.x, x), r=r, p=p,
                            rr=jnp.where(neg, c.rr, rr_new),
                            rz=jnp.where(neg, c.rz, rz_new), bb=c.bb,
-                           it=c.it + 1, neg=c.neg | neg, wdir=wdir)
+                           it=c.it + 1, neg=c.neg | neg, wdir=wdir,
+                           Pbuf=Pbuf)
 
     return jax.lax.while_loop(cond, body, carry)
 
 
 @jax.jit
-def _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry, kmax, W, AW, Einv):
-    """Deflated variant of :func:`_psd_probe_chunk`: CG on the EXACT
-    ``A = Z + shift I`` (curvature test and refutation witness unchanged)
-    under the BNN deflation preconditioner
+def _psd_probe_chunk_defl(Q_op, A_op, sR, lam, shift, b, carry, kmax, W, AW,
+                          Einv):
+    """Deflated variant of :func:`_psd_probe_chunk`: CG on
+    ``A = Z + shift I`` (through ``A_op`` — the fast two-float operator or
+    the exact one; decisions from a fast pass are re-verified exactly, see
+    ``_implicit_psd_probe``) under the BNN deflation preconditioner
 
         M2^-1 = P' Mj^-1 P + W E^-1 W',   P = I - (AW) E^-1 W'
 
@@ -804,7 +962,8 @@ def _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry, kmax, W, AW, Einv):
     exit the loop unconverged — inconclusive, never an accept."""
     three_n = sR.shape[0]
     n = three_n // 3
-    zmul_mat, _, Zdiag = _implicit_z_parts(Q_op, sR, lam, with_diag=True)
+    zmul_mat, _, Zdiag = _implicit_z_parts(Q_op, sR, lam, with_diag=True,
+                                           apply_op=A_op)
 
     Ms = Zdiag + shift * jnp.eye(3, dtype=sR.dtype)
     wM, VM = jnp.linalg.eigh(Ms)
@@ -831,7 +990,7 @@ def _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry, kmax, W, AW, Einv):
         return _ProbeCarry(
             x=jnp.zeros_like(b), r=b, p=z0, rr=bb, rz=jnp.vdot(b, z0),
             bb=bb, it=jnp.zeros((), jnp.int32), neg=jnp.asarray(False),
-            wdir=jnp.zeros_like(b))
+            wdir=jnp.zeros_like(b), Pbuf=c.Pbuf)
 
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
     carry = jax.lax.cond(carry.it == 0, mk_init, lambda c: c, carry)
@@ -840,6 +999,7 @@ def _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry, kmax, W, AW, Einv):
         return (c.it < kmax) & (~c.neg) & (c.rr > 1e-24 * c.bb)
 
     def body(c: _ProbeCarry):
+        Pbuf = _probe_store_dir(c)
         Ap = amul(c.p)
         pAp = jnp.vdot(c.p, Ap)
         neg = pAp <= 0.0
@@ -855,7 +1015,8 @@ def _psd_probe_chunk_defl(Q_op, sR, lam, shift, b, carry, kmax, W, AW, Einv):
         return _ProbeCarry(x=jnp.where(neg, c.x, x), r=r, p=p,
                            rr=jnp.where(neg, c.rr, rr_new),
                            rz=jnp.where(neg, c.rz, rz_new), bb=c.bb,
-                           it=c.it + 1, neg=c.neg | neg, wdir=wdir)
+                           it=c.it + 1, neg=c.neg | neg, wdir=wdir,
+                           Pbuf=Pbuf)
 
     return jax.lax.while_loop(cond, body, carry)
 
@@ -897,10 +1058,18 @@ def finish_auto_certificate(Z, n: int, bound: float, primal_v: float,
 DENSE_MATVEC_CERT_DIM = 4096
 
 
-def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
+def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose, Q_fast=None):
     """Matvec-only certificate decision flow (shared by implicit operators
     and large dense ones): deflated two-block Lanczos bound + structural
     Delta bound, with the convergence-gated CG shift probe as the decider.
+
+    ``Q_fast``: optional fast two-float operator (``SchurQ.two_float``).
+    Per-iteration matvecs (Lanczos prelude, CG probe) then run through it —
+    an order cheaper than the emulated-f64 exact apply — while every
+    DECISION stays anchored to the exact operator: the dual solve and
+    coupling norms are exact, the Krylov lower bound is widened by a
+    measured spectral bound on the operator error, and probe acceptance
+    requires the exact-subspace verification (``_probe_subspace_verify``).
 
     Returns ``(certified, v, lam_min, gap, dual, conclusive, info)`` —
     ``conclusive=False`` means neither acceptance nor refutation was
@@ -908,6 +1077,13 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
     Cholesky probe.  ``info`` records the deciding branch (see
     ``CertificateResult.info``)."""
     n = sR.shape[0] // 3
+    eta_m = 0.0
+    if Q_fast is not None:
+        from xmtpu.ops.schurq import operator_error_estimate
+
+        # measured ||Q_fast - Q||_2 x10 safety: widens the prelude's lower
+        # bound; the probe does NOT depend on it (exact verification)
+        eta_m = 10.0 * operator_error_estimate(Q, Q_fast, iters=5)
     # Prelude length: every Lanczos iteration is an exact-operator matvec.
     # Its outputs (lam_min estimate / lower bound, the probe's v0 and
     # deflation direction) saturate early, and the deflated CG probe is the
@@ -918,7 +1094,9 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
     lanczos_iters = 48 if sR.shape[0] <= 4096 else 24
     lam_min, v, gap, dual, resid, lam_U, delta_min = _certify_core_matvec(
         Q, sR, lam, primal, v0=v0, has_v0=v0 is not None,
-        lanczos_iters=lanczos_iters)
+        lanczos_iters=lanczos_iters,
+        Q_fast=Q_fast if Q_fast is not None else Q,
+        eta=jnp.asarray(eta_m, jnp.float64), has_fast=Q_fast is not None)
     (lam_min_v, gap_v, resid_v, dual_v, primal_v, delta_min_v) = (
         float(x) for x in jax.device_get(
             (lam_min, gap, resid, dual, primal, delta_min)))
@@ -945,7 +1123,8 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
         # refutation + escape dir; a budget-exhausted pass is
         # inconclusive (VERDICT r2).
         shift = jnp.asarray(bound, jnp.float64)
-        pr = _implicit_psd_probe(Q, sR, lam, shift, v0=v, has_v0=True)
+        pr = _implicit_psd_probe(Q, sR, lam, shift, v0=v, has_v0=True,
+                                 Q_fast=Q_fast)
         info["probe_iters"] = pr.iters
         if pr.accept:
             certified = True
@@ -967,7 +1146,7 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose):
 
 
 def certify(C, sR, lam, primal, verbose: bool = False,
-            method: str = "auto", v0=None) -> CertificateResult:
+            method: str = "auto", v0=None, fast=None) -> CertificateResult:
     """Check global optimality of the rank-o point ``sR``.
 
     Args:
@@ -979,8 +1158,32 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         ``LANCZOS_AUTO_DIM`` rows, Lanczos above).
       v0: optional Lanczos start vector (e.g. the previous rank's escape
         direction — extreme eigenvectors drift little between ranks).
+      fast: optional fast approximate operator of the SAME cost matrix
+        (``SchurQ.two_float``) — implicit-path per-iteration matvecs run
+        through it while all decisions stay exact-anchored (see
+        ``_matvec_cert_flow``).  Auto-derived for TPU-backend single-device
+        ``SchurQ`` operators when ``fast="auto"``.
     """
     Q = as_qop(C)
+    if fast == "auto":
+        fast = None
+        if (not hasattr(Q, "C") and hasattr(Q, "two_float")
+                and jax.default_backend() == "tpu"
+                and getattr(Q, "band_l", None) is not None):
+            try:
+                single = len(Q.f_l.sharding.device_set) == 1
+            except AttributeError:
+                single = True
+            if single:
+                fast = Q.two_float()
+        elif (hasattr(Q, "C") and jax.default_backend() == "tpu"
+                and Q.C.shape[0] >= DENSE_MATVEC_CERT_DIM):
+            # large dense on TPU: the matvec flow's per-iteration f64 GEMM
+            # (21 ms measured at 3n=5802, 21% of roofline — VERDICT r4
+            # item 3) runs as two f32 GEMMs instead
+            from xmtpu.ops.qop import dense_two_float
+
+            fast = dense_two_float(Q)
     sR = jnp.asarray(sR, jnp.float64)
     n = sR.shape[0] // 3
     lam = jnp.asarray(lam, jnp.float64)
@@ -995,7 +1198,8 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         # VERDICT r2 item 3); fall back to the Cholesky probe only when the
         # matvec flow is inconclusive
         certified, v, lam_min, gap, dual, conclusive, info = (
-            _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose))
+            _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose,
+                              Q_fast=fast))
         if conclusive:
             if verbose:
                 print(f"[certify] primal={float(primal):.6e} "
@@ -1038,7 +1242,8 @@ def certify(C, sR, lam, primal, verbose: bool = False,
         # conclusive.  An inconclusive flow leaves the point uncertified
         # (VERDICT r2: acceptance on budget exhaustion was unsound).
         certified, v, lam_min, gap, dual, _conclusive, info = (
-            _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose))
+            _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose,
+                              Q_fast=fast))
         certified = jnp.asarray(certified)
     if verbose:
         print(f"[certify] primal={float(primal):.6e} dual={float(dual):.6e} "

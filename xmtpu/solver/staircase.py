@@ -360,7 +360,7 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                  max_time: float = 1000.0, s0_ex: Optional[np.ndarray] = None,
                  rank3_only: bool = False, verbose: bool = True,
                  precision: str = "f64", inner_f32: bool = False,
-                 edge_f32: bool = False,
+                 edge_f32: bool = False, edge_tf: bool = False,
                  edge_pallas: Optional[bool] = None,
                  checkpoint_path: Optional[str] = None,
                  resume_from: Optional[str] = None,
@@ -378,6 +378,10 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
         two-float mixed operator (f32 edge reductions, f64 VT GEMM —
         :class:`xmtpu.ops.schurq.SchurQEdgeF32`); the certificate and any
         recovery stay on the exact f64 operator.  No effect on dense C.
+      edge_tf: like ``edge_f32`` but the FULLY two-float operator
+        (:class:`xmtpu.ops.schurq.SchurQTF` — the f32-pair ``VT_inv`` GEMM
+        as well; ~5x the mixed operator's apply rate at n=6144, noise floor
+        ~1.5e-7 relative).  Takes precedence over ``edge_f32``.
       edge_pallas: with ``edge_f32``, route the mixed operator's f32 segment
         reductions through the Pallas sorted-segment-sum kernel (None = auto:
         TPU backend, single-device operator; see ``SchurQ.edge_f32``).
@@ -405,7 +409,11 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             if dense and (precision == "mixed" or inner_f32) else None)
     stage_q = Cq
     stage_q32 = None
-    if edge_f32 and not dense and hasattr(Cq, "edge_f32"):
+    if edge_tf and not dense and hasattr(Cq, "two_float"):
+        stage_q = Cq.two_float(pallas=edge_pallas)
+        if precision == "mixed" or inner_f32:
+            stage_q32 = cast_qop(Cq, jnp.float32)
+    elif edge_f32 and not dense and hasattr(Cq, "edge_f32"):
         stage_q = Cq.edge_f32(pallas=edge_pallas)
         if precision == "mixed" or inner_f32:
             # inner tCG / f32 phase cast from the BASE operator: single
@@ -509,10 +517,23 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                          Q32=stage_q32, checkpoint_path=mid_path,
                          ckpt_meta=meta,
                          stop_on_collapse=stage_q is not Cq, chunk=chunk_n)
+            primal_dev = res.primal
+            if stage_q is not Cq:
+                # approximate-operator stage (edge_f32 / edge_tf): re-read
+                # the objective through the EXACT operator — at near-zero
+                # optima the fast operator's absolute noise (~eta ||sR||^2)
+                # is visible against the primal itself, and the certificate
+                # gap test divides by it (one exact apply; round 5).  The
+                # linesearch-fail sentinel (primal = -1) is preserved on
+                # device — no extra host sync.
+                exact_p = mf.objective(Cq.apply, res.R, res.s_ex,
+                                       jnp.asarray(lam, jnp.float64))
+                primal_dev = jnp.where(res.primal < 0, res.primal, exact_p)
+                res = res._replace(primal=primal_dev)
             # one batched scalar fetch per stage
             primal_v, reason_v, outer_v, inner_v = (
                 np.asarray(x) for x in jax.device_get(
-                    (res.primal, res.done_reason, res.outer_iters,
+                    (primal_dev, res.done_reason, res.outer_iters,
                      res.total_inner)))
         outer += int(outer_v)
         inner += int(inner_v)
@@ -545,8 +566,12 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
             cert = cert_pre
         else:
             sR = _scaled_factor(R_cur, s_cur)
+            # implicit operators on a single TPU device: per-iteration
+            # certificate matvecs ride the two-float fast operator with
+            # exact-anchored decisions (certificate.certify fast="auto";
+            # VERDICT r4 item 1)
             cert = certify(C, sR, lam, res.primal, verbose=verbose,
-                           v0=prev_escape_v)
+                           v0=prev_escape_v, fast="auto")
         certified_v, gap_v, lam_min_v = jax.device_get(
             (cert.certified, cert.gap, cert.lam_min))
         gap, lam_min = float(gap_v), float(lam_min_v)

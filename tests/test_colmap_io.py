@@ -189,3 +189,59 @@ def test_mapper_cli_track_selection_cap(tmp_path):
     # every image still covered by > min tracks (the selection goal)
     per_img = np.bincount(capped.obs_image, minlength=6)
     assert (per_img > 5).all()
+
+
+def test_example03_real_export_arm(tmp_path):
+    """VERDICT r4 item 6: example 03's real-export arm runs end-to-end from
+    the tempdata written by `python -m xmtpu mapper` plus per-frame depth
+    maps — no manual wiring.  GT depth at the observed pixels recovers the
+    GT poses."""
+    import importlib.util
+    import os
+
+    from tests.test_colmap_db import _ring_scene, _write_scene_db
+
+    from xmtpu.__main__ import main
+
+    rng = np.random.default_rng(7)
+    f, w, h = 500.0, 640, 480
+    R, t, pts, keypoints, K = _ring_scene(rng, n_cams=8, n_pts=50)
+    db = tmp_path / "database.db"
+    _write_scene_db(db, R, t, keypoints, f, w, h)
+    out_dir = tmp_path / "tempdata"
+    rc = main(["mapper", "--database_path", str(db),
+               "--output_path", str(out_dir),
+               "--TrackEstablishment.max_num_view_per_track", "1000000",
+               "--quiet"])
+    assert rc == 0
+
+    # per-frame GT depth maps: z of each observed point at its (truncated)
+    # pixel; zeros elsewhere (lift_depth drops d <= 0)
+    depth_dir = tmp_path / "depth"
+    os.makedirs(depth_dir)
+    np.savetxt(depth_dir / "K.txt", K)
+    for i in range(len(R)):
+        pc = pts @ R[i].T + t[i]
+        uv = keypoints[i].astype(int)
+        ok = ((uv[:, 0] >= 0) & (uv[:, 0] < w)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < h))
+        d = np.zeros((h, w))
+        d[uv[ok, 1], uv[ok, 0]] = pc[ok, 2]
+        np.save(depth_dir / f"img{i:03d}.png.depth.npy", d)
+    # gt_poses.npz convention (matching pipeline.synthetic scenes): c2w
+    # rotations + camera centers
+    centers = -np.einsum("nba,nb->na", R, t)
+    np.savez(depth_dir / "gt_poses.npz", R_gt=R.transpose(0, 2, 1),
+             t_gt=centers)
+
+    spec = importlib.util.spec_from_file_location(
+        "ex3", os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "03_full_pipeline.py"))
+    ex3 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex3)
+
+    out, m = ex3.run_real_export(str(out_dir), str(depth_dir),
+                                 max_rank=4, tol=1e-6, verbose=False)
+    assert m is not None
+    # GT depth at GT pixels (1 px truncation noise): rotations recover
+    assert m["ATE_R_deg"] < 2.0, m   # degrees (median, robust-aligned)

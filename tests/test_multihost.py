@@ -17,6 +17,10 @@ import sys
 import numpy as np
 import pytest
 
+# subprocess-launched coordinated JAX runtimes: ~30-60 s per test — keep the
+# inner-loop suite fast with `-m "not slow"` (VERDICT r4 item 8)
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

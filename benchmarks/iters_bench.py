@@ -111,6 +111,8 @@ def one_host():
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # virtual mesh (CLAUDE rule 0)
+    import jax.numpy as jnp
+
     out = {}
     from xmtpu.ops.schurq import SchurQ
     from xmtpu.parallel.mesh import make_mesh, solve_arrays_sharded
@@ -132,38 +134,83 @@ def one_host():
     print(f"1 host (8-device virtual CPU mesh), n=512 sharded: {iters} "
           f"iters / {dt:.2f} s = {out['host8_n512_iters_per_s']:.0f} it/s "
           f"(virtual-CPU rate, code-path proof not a TPU number)")
+
+    # single-process DENSE comparator for the multi-process n=512 rows:
+    # identical problem/config to the _multihost_worker (make_scene seed 91,
+    # tol 1e-8) so hosts{2,4}_n512 divide cleanly into it (VERDICT r4
+    # item 4: the collective/barrier overhead must be measured against the
+    # same workload)
+    import numpy as _np
+
+    from xmtpu.assembly.creatematrix import create_matrix_arrays
+    from xmtpu.pipeline.synthetic import make_scene
+    from xmtpu.solver.staircase import solve_arrays
+
+    scene_d = make_scene(n_cameras=512, n_points=2048, obs_per_camera=30,
+                         noise=1e-4, seed=91)
+    C, _ = create_matrix_arrays(scene_d.weights, scene_d.edges,
+                                scene_d.landmarks)
+    Cg = jax.device_put(
+        jnp.asarray(C),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("cam", None)))
+    res = solve_arrays(Cg, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    t0 = time.perf_counter()
+    res = solve_arrays(Cg, max_rank=4, tol=1e-8, lam=0.0, verbose=False)
+    dt = time.perf_counter() - t0
+    iters = int(res.outer_iters) + int(res.total_inner)
+    out["host8_n512_dense_iters_per_s"] = round(iters / dt, 1)
+    out["host8_n512_dense_iters"] = iters
+    print(f"1 host (8-device virtual CPU mesh), n=512 dense (multihost-"
+          f"worker problem): {iters} iters / {dt:.2f} s = "
+          f"{out['host8_n512_dense_iters_per_s']:.0f} it/s")
     return out
 
 
-def two_hosts():
+def multi_hosts(n_proc: int, ndev: int, n_cam: int, n_pts: int):
+    """``n_proc`` coordinated processes x ``ndev`` virtual CPU devices
+    solving the dense n_cam-camera problem under GSPMD — the timed second
+    solve's iterations/s.
+
+    VERDICT r4 item 4: the round-4 record's only multi-process row was
+    n=16 (camera blocks of 8 per process — barrier latency, not scaling);
+    the n=512 rows below put the O(N^2) shard in charge.
+    """
     import socket
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     procs = []
-    for pid in range(2):
+    for pid in range(n_proc):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
         env.update({"XMTPU_MH_COORD": f"127.0.0.1:{port}",
-                    "XMTPU_MH_NPROC": "2", "XMTPU_MH_PID": str(pid),
-                    "XMTPU_MH_LOCAL_DEVICES": "4",
+                    "XMTPU_MH_NPROC": str(n_proc),
+                    "XMTPU_MH_PID": str(pid),
+                    "XMTPU_MH_LOCAL_DEVICES": str(ndev),
+                    "XMTPU_MH_N": str(n_cam), "XMTPU_MH_M": str(n_pts),
                     "XMTPU_MH_TIMED": "1"})
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "xmtpu.parallel._multihost_worker"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
     out = {}
+    key = f"hosts{n_proc}_n{n_cam}_iters_per_s"
     for p in procs:
-        o, e = p.communicate(timeout=600)
+        o, e = p.communicate(timeout=3600)
         for line in o.splitlines():
             if line.startswith("XMTPU_MH_RESULT "):
                 r = json.loads(line[len("XMTPU_MH_RESULT "):])
                 if r["pid"] == 0 and "iters_per_s" in r:
-                    out["hosts2_n16_iters_per_s"] = r["iters_per_s"]
-                    print(f"2 hosts (2 proc x 4 virtual CPU devices), "
-                          f"n=16 dense: {r['iters_per_s']:.0f} it/s "
-                          f"(virtual-CPU rate)")
+                    out[key] = r["iters_per_s"]
+                    out[f"hosts{n_proc}_n{n_cam}_iters"] = r.get("iters")
+                    print(f"{n_proc} hosts ({n_proc} proc x {ndev} virtual "
+                          f"CPU devices), n={n_cam} dense: "
+                          f"{r['iters_per_s']:.0f} it/s (virtual-CPU rate)")
+    if key not in out:
+        print(f"WARNING: {key} missing "
+              f"(worker stderr tail: {e.splitlines()[-3:] if e else '??'})")
     return out
 
 
@@ -175,7 +222,9 @@ def main():
     out = {}
     if "--skip-tpu" not in sys.argv:
         out.update(one_chip())
-    out.update(two_hosts())
+    out.update(multi_hosts(2, 4, 16, 60))       # legacy row (round 4)
+    out.update(multi_hosts(2, 4, 512, 2048))    # O(N^2)-dominated shards
+    out.update(multi_hosts(4, 2, 512, 2048))
     # one_host in a subprocess: the CPU backend must be picked before any
     # jax use and this process already holds the TPU
     env = dict(os.environ)

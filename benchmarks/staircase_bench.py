@@ -27,8 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    n_cam = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    noise = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_cam = int(pos[0]) if pos else 1024
+    noise = float(pos[1]) if len(pos) > 1 else 0.2
+
+    if os.environ.get("XMTPU_FORCE_CPU") == "1" or "--cpu" in sys.argv:
+        # structure probes off the tunnel (the axon sitecustomize force-sets
+        # the TPU platform; CLAUDE.md rule 0)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import xmtpu  # noqa: F401  (x64 + cache config)
     from xmtpu.ops.schurq import SchurQ
@@ -47,9 +55,16 @@ def main():
     # 100-outer device program exceeds the worker's runtime limit (observed:
     # crash in the rank-5 stage) — bound programs to ~10 outers there
     chunk = 10 if jax.default_backend() != "cpu" else None
+    # --inner-f32 (the chip configuration): f32 tCG Hessian applies with
+    # exact-f64 outer iterations — the stages drive gradnorm to ~1e-6,
+    # which the borderline certificates here need, while the ~10x-cheaper
+    # f32 applies carry the ~20x-larger inner-iteration count.  The
+    # certificate rides the fast two-float matvecs automatically on a
+    # single TPU device (solve_arrays certify fast="auto").
+    inner_f32 = "--inner-f32" in sys.argv
     t0 = time.perf_counter()
     res = solve_arrays(Q, max_rank=6, tol=1e-6, lam=0.0, verbose=True,
-                       chunk=chunk)
+                       chunk=chunk, inner_f32=inner_f32)
     wall = time.perf_counter() - t0
 
     print(f"\n{'rank':>4} {'stage_s':>8} {'cert_s':>8} {'outer':>6} "

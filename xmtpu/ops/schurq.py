@@ -272,20 +272,34 @@ class SchurQ(QOperator):
     # ---- structured pieces ----
 
     def _vtpT(self, Yb):
-        """``Vtp_bar^T Y``: (n,3,o) -> (b_A (n-1,o), b_B (m,o))."""
+        """``Vtp_bar^T Y``: (n,3,o) -> (b_A (n-1,o), b_B (m,o)).
+
+        Per-edge contractions in slice-multiply form — the einsum
+        ('ea,eao->eo') lowering transposes (E,3,o) through lanes and
+        measured ~7.5 ms at E=245k on the chip (round 5)."""
+        n, _, o = Yb.shape
         b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
-        gathered = jnp.einsum("ea,eao->eo", self.wx_l, Yb[self.f_l])
-        b_B = -self._seg(gathered, self.l_l, self.bounds_l,
+        g = Yb.reshape(n, 3 * o)[self.f_l]
+        t = None
+        for a in range(3):
+            ta = self.wx_l[:, a:a + 1] * g[:, a * o:(a + 1) * o]
+            t = ta if t is None else t + ta
+        b_B = -self._seg(t, self.l_l, self.bounds_l,
                          self.n_landmarks, self.band_l)
         return b_A, b_B
 
     def _vtp(self, z_A, z_B):
         """``Vtp_bar [z_A; z_B]`` -> (n, 3, o)."""
+        n = self.n_cameras
+        o = z_B.shape[-1]
         z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
         out = jnp.einsum("na,no->nao", self.V1, z_t)
-        contrib = jnp.einsum("ea,eo->eao", self.wx_f, z_B[self.l_f])
-        return out - self._seg(contrib, self.f_f, self.bounds_f,
-                               self.n_cameras, self.band_f)
+        zg = z_B[self.l_f]
+        contrib = jnp.concatenate(
+            [self.wx_f[:, a:a + 1] * zg for a in range(3)], axis=1)
+        red = self._seg(contrib, self.f_f, self.bounds_f,
+                        self.n_cameras, self.band_f)
+        return out - red.reshape(n, 3, o)
 
     def _v3f(self, z_B):
         """``V3F z_B``: (m, o) -> (n-1, o)."""
@@ -363,10 +377,13 @@ class SchurQ(QOperator):
         :meth:`edge_f32`."""
         e = self.edge_f32(pallas=pallas)
         vth, vtl = _split_f32(self.VT_inv)
+        q1h, q1l = _split_f32(self.Q1)
+        v1h, v1l = _split_f32(self.V1)
         return SchurQTF(e.Q1, e.V1, e.f_l, e.l_l, e.f_f, e.l_f,
                         e.wxh_l, e.wxl_l, e.cfh_l, e.cfl_l,
                         e.wxh_f, e.wxl_f, e.cfh_f, e.cfl_f,
                         e.inv_q3, e.inv_sqrt_q3, vth, vtl,
+                        q1h, q1l, v1h, v1l,
                         band_l=e.band_l, band_f=e.band_f,
                         interpret=e.interpret)
 
@@ -450,6 +467,32 @@ def _split_f32(x):
     coefficients recover ~f64 representation accuracy at f32 cost."""
     hi = x.astype(jnp.float32)
     return hi, (x - hi.astype(x.dtype)).astype(jnp.float32)
+
+
+def _wx_dot3(wh, wl, gh, gl, o):
+    """Two-float ``sum_a w[:, a] * g[:, a*o:(a+1)*o]`` in slice-multiply
+    form.  The einsum('ea,eao->eo') formulation of this contraction lowered
+    to a transpose-heavy ~7.5 ms at E=245k on the chip (round-5 edge
+    breakdown); three fused column-block multiply-adds are pure VPU
+    elementwise.  Returns ``(th, tl)`` f32 with ``th + tl ~= sum``."""
+    th = tl = None
+    for a in range(3):
+        wah, wal = wh[:, a:a + 1], wl[:, a:a + 1]
+        gah, gal = gh[:, a * o:(a + 1) * o], gl[:, a * o:(a + 1) * o]
+        t = wah * gah
+        c = wah * gal + wal * gah
+        th = t if th is None else th + t
+        tl = c if tl is None else tl + c
+    return th, tl
+
+
+def _wx_outer3(wh, wl, zh, zl):
+    """Two-float outer products ``w[:, a] * z`` laid out as column blocks
+    ``(E, 3o)`` (a-major, matching the (e, 3, o) row-major flattening)."""
+    th = jnp.concatenate([wh[:, a:a + 1] * zh for a in range(3)], axis=1)
+    tl = jnp.concatenate([wh[:, a:a + 1] * zl + wl[:, a:a + 1] * zh
+                          for a in range(3)], axis=1)
+    return th, tl
 
 
 @register_pytree_node_class
@@ -566,24 +609,24 @@ class SchurQEdgeF32(QOperator):
         return sh.astype(dt) + sl.astype(dt)
 
     def _vtpT(self, Yb):
+        n, _, o = Yb.shape
         b_A = jnp.einsum("na,nao->no", self.V1, Yb)[1:]
-        Yh, Yl = _split_f32(Yb)
+        Yh, Yl = _split_f32(Yb.reshape(n, 3 * o))
         gh, gl = Yh[self.f_l], Yl[self.f_l]
-        th = jnp.einsum("ea,eao->eo", self.wxh_l, gh)
-        tl = (jnp.einsum("ea,eao->eo", self.wxh_l, gl)
-              + jnp.einsum("ea,eao->eo", self.wxl_l, gh))
+        th, tl = _wx_dot3(self.wxh_l, self.wxl_l, gh, gl, o)
         b_B = -self._seg2(th, tl, self.l_l, self.n_landmarks, self.band_l)
         return b_A, b_B
 
     def _vtp(self, z_A, z_B):
+        n = self.n_cameras
+        o = z_B.shape[-1]
         z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
         out = jnp.einsum("na,no->nao", self.V1, z_t)
         zh, zl = _split_f32(z_B)
         gh, gl = zh[self.l_f], zl[self.l_f]
-        th = jnp.einsum("ea,eo->eao", self.wxh_f, gh)
-        tl = (jnp.einsum("ea,eo->eao", self.wxh_f, gl)
-              + jnp.einsum("ea,eo->eao", self.wxl_f, gh))
-        return out - self._seg2(th, tl, self.f_f, self.n_cameras, self.band_f)
+        th, tl = _wx_outer3(self.wxh_f, self.wxl_f, gh, gl)
+        red = self._seg2(th, tl, self.f_f, self.n_cameras, self.band_f)
+        return out - red.reshape(n, 3, o)
 
     def _v3f(self, z_B):
         zh, zl = _split_f32(z_B)
@@ -663,6 +706,10 @@ class SchurQTF(QOperator):
     inv_sqrt_q3: jax.Array
     vth: jax.Array        # f32 hi part of VT_inv
     vtl: jax.Array        # f32 lo part of VT_inv
+    q1h: jax.Array        # f32 hi/lo pair of the per-camera Grams
+    q1l: jax.Array
+    v1h: jax.Array        # f32 hi/lo pair of the weighted landmark sums
+    v1l: jax.Array
     band_l: int = 0
     band_f: int = 0
     interpret: bool = False
@@ -671,7 +718,8 @@ class SchurQTF(QOperator):
         return ((self.Q1, self.V1, self.f_l, self.l_l, self.f_f, self.l_f,
                  self.wxh_l, self.wxl_l, self.cfh_l, self.cfl_l,
                  self.wxh_f, self.wxl_f, self.cfh_f, self.cfl_f,
-                 self.inv_q3, self.inv_sqrt_q3, self.vth, self.vtl),
+                 self.inv_q3, self.inv_sqrt_q3, self.vth, self.vtl,
+                 self.q1h, self.q1l, self.v1h, self.v1l),
                 (self.band_l, self.band_f, self.interpret))
 
     @classmethod
@@ -686,10 +734,34 @@ class SchurQTF(QOperator):
         return self.Q1
 
     _seg2 = SchurQEdgeF32._seg2
-    _vtpT = SchurQEdgeF32._vtpT
-    _vtp = SchurQEdgeF32._vtp
     _v3f = SchurQEdgeF32._v3f
     _v3fT = SchurQEdgeF32._v3fT
+
+    def _vtpT(self, Yb):
+        # standalone (recover_y); apply() inlines this with a shared split
+        n, _, o = Yb.shape
+        Yh, Yl = _split_f32(Yb.reshape(n, 3 * o))
+        dt = self.inv_q3.dtype
+        bh, bl = _wx_dot3(self.v1h, self.v1l, Yh, Yl, o)
+        b_A = (bh.astype(dt) + bl.astype(dt))[1:]
+        gh, gl = Yh[self.f_l], Yl[self.f_l]
+        th, tl = _wx_dot3(self.wxh_l, self.wxl_l, gh, gl, o)
+        b_B = -self._seg2(th, tl, self.l_l, self.n_landmarks, self.band_l)
+        return b_A, b_B
+
+    def _vtp(self, z_A, z_B):
+        n = self.n_cameras
+        o = z_B.shape[-1]
+        dt = self.inv_q3.dtype
+        z_t = jnp.concatenate([jnp.zeros_like(z_A[:1]), z_A], axis=0)
+        zth, ztl = _split_f32(z_t)
+        oh, ol = _wx_outer3(self.v1h, self.v1l, zth, ztl)      # (n, 3o)
+        out = oh.astype(dt) + ol.astype(dt)
+        zh, zl = _split_f32(z_B)
+        gh, gl = zh[self.l_f], zl[self.l_f]
+        th, tl = _wx_outer3(self.wxh_f, self.wxl_f, gh, gl)
+        red = self._seg2(th, tl, self.f_f, self.n_cameras, self.band_f)
+        return (out - red.reshape(n, 3 * o)).reshape(n, 3, o)
 
     def solve_M(self, b_A, b_B):
         t = self.inv_sqrt_q3[:, None] * b_B
@@ -699,7 +771,30 @@ class SchurQTF(QOperator):
                + self.inv_sqrt_q3[:, None] * self._v3fT(x_A))
         return x_A, x_B
 
-    apply = SchurQ.apply
+    def apply(self, Y: jax.Array) -> jax.Array:
+        n = self.n_cameras
+        o = Y.shape[-1]
+        dt = Y.dtype
+        Yh, Yl = _split_f32(Y.reshape(n, 3 * o))   # ONE split feeds all
+        # Q1 block product, two-float slice form: row a of each 3x3 block
+        # is a 3-term dot against the flattened Y block
+        outs_h, outs_l = [], []
+        for a in range(3):
+            th, tl = _wx_dot3(self.q1h[:, a, :], self.q1l[:, a, :],
+                              Yh, Yl, o)
+            outs_h.append(th)
+            outs_l.append(tl)
+        out = (jnp.stack(outs_h, 1).astype(dt)
+               + jnp.stack(outs_l, 1).astype(dt))           # (n, 3, o)
+        bh, bl = _wx_dot3(self.v1h, self.v1l, Yh, Yl, o)
+        b_A = (bh.astype(dt) + bl.astype(dt))[1:]
+        gh, gl = Yh[self.f_l], Yl[self.f_l]
+        th, tl = _wx_dot3(self.wxh_l, self.wxl_l, gh, gl, o)
+        b_B = -self._seg2(th, tl, self.l_l, self.n_landmarks, self.band_l)
+        z_A, z_B = self.solve_M(b_A, b_B)
+        out = out - self._vtp(z_A, z_B)
+        return out.reshape(3 * n, o)
+
     recover_y = SchurQ.recover_y
 
 

@@ -133,16 +133,19 @@ def _solve_recover(op, Abar, implicit, max_rank, tol, lam, max_time, verbose,
         # operator's f64-emulated edge reductions dominate; run the tCG
         # Hessian applies in f32 (the f64 rho test guards the model —
         # measured 2.2x on the n=1934 testbed at identical optima) and the
-        # outer-iteration applies on the two-float mixed-edge operator
-        # (~1e-7 relative operator error; certificate/recovery stay exact)
+        # outer-iteration applies on the fully two-float operator
+        # (round 5: SchurQTF, ~1e-7 relative operator error with the
+        # f32-pair VT GEMM; certificate/recovery stay exact-anchored, and
+        # the staircase re-reads the final primal through the exact
+        # operator)
         inner_f32 = tol >= 1e-3
         if rank3_probe:
             return solve_arrays(op, 3, tol, lam, max_time, rank3_only=True,
                                 verbose=verbose, precision=precision,
-                                inner_f32=inner_f32, edge_f32=inner_f32), None
+                                inner_f32=inner_f32, edge_tf=inner_f32), None
         res = solve_arrays(op, max_rank, tol, lam, max_time, verbose=verbose,
                            precision=precision, inner_f32=inner_f32,
-                           edge_f32=inner_f32)
+                           edge_tf=inner_f32)
         return res, recover_XM_implicit(op, res.R, res.s_ex, lam,
                                         verbose=verbose)
     if rank3_probe:
@@ -157,18 +160,19 @@ def xm2_solve(edges, weights, landmarks, rgbs, N, M,
               max_rank: int = 5, tol: float = 1e-1, max_time: float = 1000.0,
               relative: bool = False, percentile: float = 90.0,
               verbose: bool = True, implicit="auto",
-              precision: str = "f64") -> XM2Result:
+              precision: str = "f64", timer=None) -> XM2Result:
     """Full XM^2 pipeline on a cleaned-or-raw observation set.
 
     ``implicit`` routes assembly/solve/recovery through the factored
     SchurQ operator (no dense C or Abar — the beyond-memory path);
     the default ``"auto"`` picks dense C while it fits
     (:func:`choose_implicit`). ``precision="mixed"`` enables the f32/f64
-    ladder.
+    ladder.  ``timer``: optional PhaseTimer the caller reads back
+    (benchmarks) — by default a fresh one reported at ``verbose``.
     """
     from xmtpu.utils.timer import PhaseTimer
 
-    timer = PhaseTimer()
+    timer = timer if timer is not None else PhaseTimer()
     with timer.phase("clean1"):
         edges, landmarks, weights, rgbs, indices_all = checklandmarks(
             edges, landmarks, weights, rgbs, N, M)

@@ -660,7 +660,10 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
     if deflate:
         W, AW, E = _probe_deflation_basis(
             Q_op, sR, lam, shift, v0 if has_v0 else None)
-        wE, VE = (_np.asarray(a) for a in jax.device_get(jnp.linalg.eigh(E)))
+        # (o+1)^2 block: HOST LAPACK eigh — an eager jnp.linalg.eigh is a
+        # whole device program (seconds of per-process load on the remote
+        # platform) for a 6x6 matrix
+        wE, VE = _np.linalg.eigh(_np.asarray(jax.device_get(E)))
         if wE[0] <= 0.0:
             # exact small-block indefiniteness: (W c)' (Z + shift) (W c) =
             # c' E c <= 0 — sound witness, no CG needed
@@ -671,9 +674,11 @@ def _implicit_psd_probe(Q_op, sR, lam, shift, max_iters: "int | None" = None,
     def start_vec(probe_idx: int):
         if probe_idx == 0 and has_v0 and v0 is not None and not deflate:
             return v0 / jnp.linalg.norm(v0)
-        b = jax.random.normal(jax.random.PRNGKey(7 + probe_idx), (three_n,),
-                              dtype=sR.dtype)
-        return b / jnp.linalg.norm(b)
+        # host numpy: eager device RNG + norm are 2 extra tiny programs per
+        # pass on the remote platform
+        rng = _np.random.default_rng(7 + probe_idx)
+        b = rng.standard_normal(three_n).astype(np_dt)
+        return jnp.asarray(b / _np.linalg.norm(b))
 
     # dummy pre-init carry (it == 0 flags it): the chunk program builds the
     # real one under lax.cond so EVERY chunk — including the first — replays
@@ -1079,11 +1084,18 @@ def _matvec_cert_flow(Q, sR, lam, primal, bound, v0, verbose, Q_fast=None):
     n = sR.shape[0] // 3
     eta_m = 0.0
     if Q_fast is not None:
-        from xmtpu.ops.schurq import operator_error_estimate
-
-        # measured ||Q_fast - Q||_2 x10 safety: widens the prelude's lower
-        # bound; the probe does NOT depend on it (exact verification)
-        eta_m = 10.0 * operator_error_estimate(Q, Q_fast, iters=5)
+        # The fast-op Krylov lower bound needs a spectral bound on the
+        # operator error to stay rigorous.  Measuring it
+        # (ops.schurq.operator_error_estimate) costs a separate device
+        # program + ~10 applies per certificate; on the remote platform
+        # per-process program loads are seconds each and the CG probe — an
+        # exactly-verified decider — runs anyway whenever the bound branch
+        # is inconclusive.  So: INVALIDATE the fast Krylov lb outright
+        # (eta = +large) and let the decision rest on the exact Delta bound
+        # (folded in _certify_core_matvec when structurally PSD) or the
+        # exactly-verified probe.  Callers wanting the measured bound can
+        # pre-compute it and pass eta explicitly in the future.
+        eta_m = 1e30
     # Prelude length: every Lanczos iteration is an exact-operator matvec.
     # Its outputs (lam_min estimate / lower bound, the probe's v0 and
     # deflation direction) saturate early, and the deflated CG probe is the

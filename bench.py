@@ -219,9 +219,12 @@ def _scale_metric():
             out["scale_polish_iters"] = (int(res.outer_iters),
                                          int(res.total_inner))
             sR = mf.flatten(mf.scale_blocks(res.R, res.s_ex))
-            cert = certify(Q, sR, 0.0, res.primal)  # warmup/compile
+            # round 5: per-iteration certificate matvecs on the two-float
+            # fast operator, decisions exact-anchored (certify fast="auto")
+            cert = certify(Q, sR, 0.0, res.primal,
+                           fast="auto")  # warmup/compile
             t0 = time.perf_counter()
-            cert = certify(Q, sR, 0.0, res.primal)
+            cert = certify(Q, sR, 0.0, res.primal, fast="auto")
             cert_ok = bool(jax.device_get(cert.certified))
             out["scale_cert_s"] = round(time.perf_counter() - t0, 3)
             out["scale_certified"] = cert_ok

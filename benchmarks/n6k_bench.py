@@ -156,11 +156,42 @@ def campaign(args):
     phases = (("build", "f32", "polish", "cert") if args.phase == "all"
               else (args.phase,))
     log(f"backend={jax.default_backend()}  n={N} m={M} obs/cam={K} "
-        f"long_range={long_range}  phases={phases}")
+        f"long_range={long_range}  phases={phases} reps={args.reps}")
     Q = build_q(long_range, pallas_seg=not args.no_pallas_seg)
     if "build" == phases[0] and len(phases) == 1:
         return
 
+    # --reps > 1: repeat the f32/polish/cert phases IN-PROCESS (state files
+    # cleared between passes, compiled programs retained) — pass 2+ measures
+    # warm EXECUTION, the same methodology as bench.py's in-process warm
+    # re-solves.  A fresh-process pass additionally pays ~1-8 s of
+    # compile-cache load per program (measured: the n=6144 fast certificate
+    # executes in 3.3 s warm vs ~25-45 s on first in-process call).
+    summaries = []
+    for rep in range(max(1, args.reps)):
+        if rep > 0:
+            for p in (f32_npz, f32_ck, pol_ck):
+                if os.path.exists(p):
+                    os.remove(p)
+            log(f"--- in-process warm pass {rep + 1} ---")
+        s = _phases_pass(args, Q, phases, f32_npz, f32_ck, pol_ck,
+                         long_range)
+        if s is not None:
+            summaries.append(s)
+    if summaries and "cert" in phases:
+        import json
+
+        summary = summaries[-1]
+        if len(summaries) > 1:
+            summary["coldproc_polish_s"] = summaries[0]["polish_s"]
+            summary["coldproc_cert_s"] = summaries[0]["cert_s"]
+            summary["reps"] = len(summaries)
+        log("SUMMARY " + json.dumps(summary))
+        with open(f"{STATE}/summary.json", "w") as f:
+            json.dump(summary, f)
+
+
+def _phases_pass(args, Q, phases, f32_npz, f32_ck, pol_ck, long_range):
     # ---- f32 phase: small all-hardware HLO, compiles + runs fast ----------
     res32 = None
     if "f32" in phases and not os.path.exists(f32_npz):
@@ -189,6 +220,7 @@ def campaign(args):
         s1 = np.asarray(jax.device_get(res32.s_ex), np.float64)
         np.savez(f32_npz, R=R1, s_ex=s1, t32=t32,
                  outer=int(res32.outer_iters), inner=int(res32.total_inner))
+        _phases_pass.t32 = t32
         log(f"f32 phase: {t32:.2f} s  ({int(res32.outer_iters)} outer / "
             f"{int(res32.total_inner)} inner, primal "
             f"{float(res32.primal):.6e}, |g|={float(res32.gradnorm):.3e}, "
@@ -235,16 +267,14 @@ def campaign(args):
         t_cert = time.perf_counter() - t0
         log(f"certificate: {t_cert:.2f} s  certified={ok} "
             f"lam_min={float(cert.lam_min):.3e} gap={float(cert.gap):.3e}")
-        summary = dict(
+        return dict(
             n=N, m=M, obs=K, long_range=long_range,
+            f32_s=round(getattr(_phases_pass, "t32", 0.0), 2),
             polish_s=round(t_polish, 2), cert_s=round(t_cert, 2),
             certified=ok, primal=float(res.primal),
             gradnorm=float(res.gradnorm), tol=args.tol, tf=bool(args.tf),
             outer=int(res.outer_iters), inner=int(res.total_inner))
-        import json
-        log("SUMMARY " + json.dumps(summary))
-        with open(f"{STATE}/summary.json", "w") as f:
-            json.dump(summary, f)
+    return None
 
 
 def legacy(argv):
@@ -317,6 +347,9 @@ def main():
                          "exact-anchored decisions")
     ap.add_argument("--ring", action="store_true",
                     help="round-2/3 adversarial ring scene (long_range=0)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat f32/polish/cert in-process; pass 2+ is "
+                         "warm EXECUTION (bench.py methodology)")
     ap.add_argument("--fresh", action="store_true",
                     help="discard on-disk phase checkpoints")
     ap.add_argument("--no-pallas-seg", action="store_true",

@@ -174,6 +174,7 @@ def _scale_metric():
                     roof = _json.load(f)
                 rf = {}
                 for op_name in ("dense_matvec_n1934_o5",
+                                "dense_tf_matvec_n1934_o5",
                                 "schurq_matvec_n6144",
                                 "schurq_tf_matvec_n6144"):
                     if op_name in roof:

@@ -129,6 +129,33 @@ def main():
               f"({r['bound']}) -> at {100*r['frac_of_roofline']:.0f}% "
               f"of attainable")
 
+    # ---- two-float dense matvec (round 5: DenseQTF) -----------------------
+    sys.path.insert(0, ".")
+    from xmtpu.ops.qop import dense_two_float
+
+    n, o = 1934, 5
+    d = 3 * n
+    C = jnp.ones((d, d), jnp.float64)
+    X = jnp.ones((d, o), jnp.float64)
+    Qd = dense_two_float(C)
+    app_d = jax.jit(lambda q, x: q.apply(x))
+    t = timeit(app_d, Qd, X)
+    bytes_rd = d * d * 4 * 2 + d * o * 8 * 3   # hi pass + lo pass, f32
+    padded32 = 2 * d * d * 128 * 2
+    roof = max(padded32 / peak_f32, bytes_rd / bw)
+    out["dense_tf_matvec_n1934_o5"] = {
+        "ms": t * 1e3, "attainable_ms": roof * 1e3,
+        "frac_of_roofline": roof / t,
+        "bound": ("mxu-padded-flops" if padded32 / peak_f32
+                  > bytes_rd / bw else "hbm"),
+        "speedup_vs_f64": out["dense_matvec_n1934_o5"]["ms"] / (t * 1e3),
+    }
+    r = out["dense_tf_matvec_n1934_o5"]
+    print(f"DenseQTF two-float matvec n={n} o={o}: {r['ms']:.2f} ms "
+          f"({r['speedup_vs_f64']:.1f}x f64); roofline "
+          f"{r['attainable_ms']:.2f} ms ({r['bound']}) -> at "
+          f"{100*r['frac_of_roofline']:.0f}% of attainable")
+
     # ---- SchurQ implicit matvec at n=6144 ---------------------------------
     if "--n6k" in sys.argv:
         from xmtpu.ops.schurq import SchurQ

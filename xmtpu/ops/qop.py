@@ -160,8 +160,19 @@ class DenseQTF(QOperator):
 def dense_two_float(C) -> DenseQTF:
     """Derive the two-float dense operator from an f64 matrix / DenseQ."""
     Q = as_qop(C)
-    ch, cl = split_f32(Q.C)
-    return DenseQTF(ch, cl, Q.diag_blocks())
+    return DenseQTF(*_dense_tf_build(Q.C))
+
+
+@jax.jit
+def _dense_tf_build(C):
+    # one fused program: EAGER DenseQ.diag_blocks' advanced-indexing gather
+    # materialized a multi-GB transposed temp at 3n=5802 (HBM OOM, round 5);
+    # the strided jnp.diagonal form under jit is a few strided reads
+    ch, cl = split_f32(C)
+    n = C.shape[0] // 3
+    diag = jnp.moveaxis(
+        jnp.diagonal(C.reshape(n, 3, n, 3), axis1=0, axis2=2), -1, 0)
+    return ch, cl, diag
 
 
 def q_apply(Q, Y: jax.Array) -> jax.Array:

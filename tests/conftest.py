@@ -18,6 +18,12 @@ import jax
 # interpreter start; force it back so tests run on the virtual CPU mesh
 jax.config.update("jax_platforms", "cpu")
 
+# the persistent compile cache on this image stores XLA:CPU AOT executables
+# built with machine features the host lacks ("+prefer-no-gather ... could
+# lead to execution errors such as SIGILL"); loading them has segfaulted a
+# full-suite run mid-cache-read.  CPU compiles are cheap — skip the cache.
+jax.config.update("jax_enable_compilation_cache", False)
+
 import numpy as np
 import pytest
 

@@ -157,6 +157,10 @@ def main():
           f"{100*r['frac_of_roofline']:.0f}% of attainable")
 
     # ---- SchurQ implicit matvec at n=6144 ---------------------------------
+    # free the peak/dense section's buffers first: the 1 GiB stream array +
+    # dense C copies + the n6k build transients together exhausted HBM
+    # (ResourceExhausted, round 5)
+    del A32, B32, A64, B64, big, C, X, Qd
     if "--n6k" in sys.argv:
         from xmtpu.ops.schurq import SchurQ
         from xmtpu.pipeline.synthetic import make_scene_window

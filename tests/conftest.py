@@ -10,7 +10,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in _flags:
+    # the VM host masks some CPUID features the XLA:CPU JIT otherwise emits
+    # ("machine features ... could lead to execution errors such as SIGILL");
+    # unconstrained codegen segfaulted full-suite runs nondeterministically
+    # inside backend_compile_and_load — cap the ISA
+    _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 

@@ -243,6 +243,28 @@ def _scale_metric():
         out["n6k_recorded"] = n6
     except OSError:
         pass
+    # round-5 recorded campaign headlines (xm2_bench.py / staircase_bench.py
+    # write the full JSONs; too long to re-run per bench invocation)
+    try:
+        import json as _json
+        with open("benchmarks/recorded/xm2.json") as f:
+            x = _json.load(f)
+        out["xm2_recorded"] = {
+            "implicit_s": x["implicit"]["value"],
+            "dense_s": x["dense"]["value"], "n": x["implicit"]["n"]}
+    except (OSError, KeyError):
+        pass
+    try:
+        import json as _json
+        with open("benchmarks/recorded/staircase_n2048_tpu.json") as f:
+            st = _json.load(f)
+        out["staircase_recorded"] = {
+            "n": st["n"], "total_s": st["value"], "rank": st["rank"],
+            "certified": st["certified"],
+            "escapes": sum(1 for s in st["stages"]
+                           if not s.get("certified"))}
+    except (OSError, KeyError):
+        pass
     return out
 
 

@@ -37,6 +37,18 @@ import pytest
 REFERENCE_ASSETS = "/root/reference/assets"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Full-suite runs on this 2-core VM segfault nondeterministically
+    inside XLA:CPU ``backend_compile_and_load`` once hundreds of compiled
+    executables accumulate in one process (observed 4x at ~200 tests in;
+    never in module-level or `-m "not slow"` runs).  Dropping the compiled
+    programs between modules keeps the resident-executable count bounded;
+    within-module fixtures still share compilations."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def simple1_Q():
     from xmtpu.io.bin_format import load_matrix_from_bin

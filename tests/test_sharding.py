@@ -111,6 +111,16 @@ def test_sharded_schurq_staircase_and_edge_f32(problem):
                                    inner_f32=True)
     assert np.isfinite(res_mix.primal)
 
+    # round-5 fully two-float stages under the mesh: two_float() derives
+    # from the already-sharded operator, GSPMD propagates the shardings
+    # through the hi/lo splits (auto-pallas stays off: multi-device)
+    res_tf = solve_arrays_sharded(mesh, Q, max_rank=4, tol=1e-4, lam=0.0,
+                                  verbose=False, edge_tf=True,
+                                  inner_f32=True)
+    assert np.isfinite(res_tf.primal)
+    np.testing.assert_allclose(res_tf.primal, res_single.primal,
+                               rtol=1e-2, atol=1e-6)
+
 
 def test_sharded_schurq_indivisible_n_pads_cameras():
     """n % mesh != 0: the camera axis is zero-extended with phantom cameras

@@ -522,13 +522,17 @@ def solve_arrays(C, max_rank: int = 10, tol: float = 1e-6, lam: float = 0.0,
                 # approximate-operator stage (edge_f32 / edge_tf): re-read
                 # the objective through the EXACT operator — at near-zero
                 # optima the fast operator's absolute noise (~eta ||sR||^2)
-                # is visible against the primal itself, and the certificate
-                # gap test divides by it (one exact apply; round 5).  The
-                # linesearch-fail sentinel (primal = -1) is preserved on
-                # device — no extra host sync.
+                # is visible against the primal itself (it can even read
+                # NEGATIVE), and the certificate gap test divides by it
+                # (one exact apply; round 5).  Only the linesearch-fail
+                # sentinel keeps the stage's own primal (guarded by
+                # done_reason, NOT by sign — a noise-negative primal must
+                # be replaced too); no extra host sync.
                 exact_p = mf.objective(Cq.apply, res.R, res.s_ex,
                                        jnp.asarray(lam, jnp.float64))
-                primal_dev = jnp.where(res.primal < 0, res.primal, exact_p)
+                primal_dev = jnp.where(
+                    res.done_reason == tr.DONE_LINESEARCH_FAIL,
+                    res.primal, exact_p)
                 res = res._replace(primal=primal_dev)
             # one batched scalar fetch per stage
             primal_v, reason_v, outer_v, inner_v = (
